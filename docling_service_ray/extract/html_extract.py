@@ -1,0 +1,454 @@
+"""HTML boilerplate strip + DOM-heuristic main-content extraction.
+
+From-scratch, stdlib-only (html.parser). Semantics are the per-turn analog
+of the reference's conversion core:
+
+- boilerplate tag stripping generalizes the header/footer-zone image filter
+  (reference ``app/main.py:655-688``) from geometry to DOM semantics;
+- the min-block-length filter mirrors the 50px minimum-size filter
+  (``app/main.py:574-575``);
+- the link-density filter mirrors the tiny-area density filter
+  (``app/main.py:690-699``);
+- block emission in document order mirrors the page-ordered markdown
+  serialization (``app/main.py:431-482``), including its fallback ladder
+  (0 blocks from main content -> whole-DOM pass -> empty output).
+
+Determinism rules: no wall clock, no set/dict iteration order dependence,
+pure functions of the input string.
+"""
+
+from __future__ import annotations
+
+import re
+from html.parser import HTMLParser
+
+# --- tuning constants (pinned; golden tests depend on them) -----------------
+MIN_BLOCK_CHARS = 5          # analog of the 50px min image size
+MAX_LINK_DENSITY = 0.8       # block-level link-density cutoff (tiny-area analog)
+
+# tags whose entire subtree is boilerplate (semantic generalization of the
+# header/footer zone filter)
+STRIP_TAGS = frozenset(
+    """script style noscript template iframe svg canvas nav header footer
+    aside form button input select option textarea label head meta link
+    base title object embed applet map area""".split()
+)
+
+VOID_TAGS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+HEADING_TAGS = frozenset(["h1", "h2", "h3", "h4", "h5", "h6"])
+LIST_TAGS = frozenset(["ul", "ol"])
+BLOCK_TAGS = (
+    HEADING_TAGS
+    | LIST_TAGS
+    | frozenset(
+        ["p", "pre", "table", "blockquote", "hr", "div", "section", "main",
+         "article", "body", "html", "figure", "figcaption", "dl", "dt", "dd",
+         "li", "tr", "td", "th", "thead", "tbody", "tfoot", "caption"]
+    )
+)
+
+_WS_RE = re.compile(r"\s+")
+
+_ENTITY_MAP = {
+    "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " ",
+}
+
+
+class StrictParseError(ValueError):
+    """Raised by the strict pass on malformed (unbalanced) HTML."""
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "parent")
+
+    def __init__(self, tag: str, attrs=None, parent=None):
+        self.tag = tag
+        self.attrs = dict(attrs or {})
+        self.children: list = []
+        self.parent = parent
+
+
+class _Text:
+    __slots__ = ("data", "start", "end")
+
+    def __init__(self, data: str, start: int, end: int):
+        self.data = data
+        self.start = start
+        self.end = end
+
+
+class _DomBuilder(HTMLParser):
+    """Build a minimal DOM with source-offset tracking on text nodes."""
+
+    def __init__(self, src: str, strict: bool):
+        # convert_charrefs=False keeps handle_data chunks aligned with the
+        # raw source so text-node offsets are exact.
+        super().__init__(convert_charrefs=False)
+        self.src = src
+        self.strict = strict
+        self.root = _Node("#root")
+        self.cur = self.root
+        # absolute offset of the start of each source line (getpos() is
+        # (lineno, col); lineno is 1-based)
+        self._line_starts = [0]
+        for m in re.finditer("\n", src):
+            self._line_starts.append(m.end())
+
+    def _abs(self) -> int:
+        line, col = self.getpos()
+        return self._line_starts[line - 1] + col
+
+    # -- tag handling --------------------------------------------------------
+    def handle_starttag(self, tag, attrs):
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            self.cur.children.append(_Node(tag, attrs, self.cur))
+            return
+        node = _Node(tag, attrs, self.cur)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(_Node(tag.lower(), attrs, self.cur))
+
+    def handle_endtag(self, tag):
+        tag = tag.lower()
+        if tag in VOID_TAGS:
+            return
+        # walk up to the nearest matching open tag
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is self.root:
+            if self.strict:
+                raise StrictParseError(f"unmatched closing tag </{tag}>")
+            return  # lenient: ignore stray close
+        if self.strict and node is not self.cur:
+            raise StrictParseError(f"mis-nested closing tag </{tag}>")
+        self.cur = node.parent
+
+    # -- text handling -------------------------------------------------------
+    def handle_data(self, data):
+        start = self._abs()
+        self.cur.children.append(_Text(data, start, start + len(data)))
+
+    def handle_entityref(self, name):
+        start = self._abs()
+        ch = _ENTITY_MAP.get(name, f"&{name};")
+        self.cur.children.append(_Text(ch, start, start + len(name) + 2))
+
+    def handle_charref(self, name):
+        start = self._abs()
+        try:
+            cp = int(name[1:], 16) if name.lower().startswith("x") else int(name)
+            ch = chr(cp)
+        except ValueError:
+            ch = f"&#{name};"
+        self.cur.children.append(_Text(ch, start, start + len(name) + 3))
+
+    def finish(self) -> _Node:
+        self.close()
+        if self.strict and self.cur is not self.root:
+            raise StrictParseError(f"unclosed tag <{self.cur.tag}>")
+        return self.root
+
+
+def parse_html(src: str, strict: bool) -> _Node:
+    b = _DomBuilder(src, strict)
+    b.feed(src)
+    return b.finish()
+
+
+# --- tree measurement -------------------------------------------------------
+
+def _iter_text(node) -> list:
+    """All _Text descendants in document order, skipping STRIP_TAGS subtrees."""
+    out = []
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, _Text):
+            out.append(n)
+            continue
+        if n.tag in STRIP_TAGS:
+            continue
+        stack.extend(reversed(n.children))
+    return out
+
+
+def _text_len(node) -> int:
+    return sum(len(_WS_RE.sub(" ", t.data).strip()) for t in _iter_text(node))
+
+
+def _link_text_len(node) -> int:
+    total = 0
+    stack = [node]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, _Text):
+            continue
+        if n.tag in STRIP_TAGS:
+            continue
+        if n.tag == "a":
+            total += _text_len(n)
+            continue
+        stack.extend(reversed(n.children))
+    return total
+
+
+def link_density(node) -> float:
+    tl = _text_len(node)
+    if tl == 0:
+        return 0.0
+    return _link_text_len(node) / tl
+
+
+# --- main-content selection -------------------------------------------------
+
+def select_main_content(root: _Node) -> _Node:
+    """Pick the main-content subtree.
+
+    1. first <article> or <main> in document order, if any;
+    2. else the best-scoring container among body/div/section where
+       score = own_text_len * (1 - link_density) — ties broken by document
+       order (first wins).
+    3. else the root.
+    """
+    order: list[_Node] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if isinstance(n, _Text) or n.tag in STRIP_TAGS:
+            continue
+        order.append(n)
+        stack.extend(reversed(n.children))
+
+    for n in order:
+        if n.tag in ("article", "main"):
+            return n
+
+    best, best_score = None, -1.0
+    for n in order:
+        if n.tag not in ("body", "div", "section"):
+            continue
+        score = _text_len(n) * (1.0 - link_density(n))
+        if score > best_score:
+            best, best_score = n, score
+    return best if best is not None else root
+
+
+# --- block emission ---------------------------------------------------------
+
+def _inline_text(node) -> str:
+    """Render inline content: bold/italic/code markers, whitespace collapsed."""
+    parts: list[str] = []
+
+    def walk(n):
+        if isinstance(n, _Text):
+            parts.append(n.data)
+            return
+        if n.tag in STRIP_TAGS:
+            return
+        if n.tag == "br":
+            parts.append(" ")
+            return
+        marker = {"b": "**", "strong": "**", "i": "*", "em": "*", "code": "`"}.get(n.tag)
+        if marker:
+            inner_start = len(parts)
+            for c in n.children:
+                walk(c)
+            inner = _WS_RE.sub(" ", "".join(parts[inner_start:])).strip()
+            del parts[inner_start:]
+            if inner:
+                parts.append(f"{marker}{inner}{marker}")
+            return
+        for c in n.children:
+            walk(c)
+
+    walk(node)
+    return _WS_RE.sub(" ", "".join(parts)).strip()
+
+
+def _raw_text(node) -> str:
+    """Verbatim text content (for <pre>/<code> blocks)."""
+    return "".join(t.data for t in _iter_text(node))
+
+
+def _span_of(node):
+    texts = _iter_text(node)
+    if not texts:
+        return None
+    return (texts[0].start, texts[-1].end)
+
+
+def _render_list(node, ordered: bool, depth: int, lines: list[str]) -> None:
+    idx = 0
+    for c in node.children:
+        if isinstance(c, _Text) or c.tag != "li":
+            continue
+        idx += 1
+        # split the li's own inline content from nested lists
+        own_parts, nested = [], []
+        for cc in c.children:
+            if not isinstance(cc, _Text) and cc.tag in LIST_TAGS:
+                nested.append(cc)
+            else:
+                own_parts.append(cc)
+        holder = _Node("#li")
+        holder.children = own_parts
+        txt = _inline_text(holder)
+        prefix = f"{idx}. " if ordered else "- "
+        if txt:
+            lines.append("  " * depth + prefix + txt)
+        for nl in nested:
+            _render_list(nl, nl.tag == "ol", depth + 1, lines)
+
+
+def _render_table(node) -> str:
+    rows: list[list[str]] = []
+    header: list[str] | None = None
+
+    def collect_rows(n):
+        for c in n.children:
+            if isinstance(c, _Text):
+                continue
+            if c.tag == "tr":
+                yield c
+            elif c.tag in ("thead", "tbody", "tfoot"):
+                yield from collect_rows(c)
+
+    for tr in collect_rows(node):
+        cells = [
+            (c.tag, _inline_text(c))
+            for c in tr.children
+            if not isinstance(c, _Text) and c.tag in ("td", "th")
+        ]
+        if not cells:
+            continue
+        values = [v for _, v in cells]
+        if header is None and all(t == "th" for t, _ in cells):
+            header = values
+        else:
+            rows.append(values)
+
+    if header is None:
+        if not rows:
+            return ""
+        header, rows = rows[0], rows[1:]
+    ncols = max([len(header)] + [len(r) for r in rows]) if (header or rows) else 0
+    if ncols == 0:
+        return ""
+    header = header + [""] * (ncols - len(header))
+    out = ["| " + " | ".join(header) + " |",
+           "| " + " | ".join(["---"] * ncols) + " |"]
+    for r in rows:
+        r = r + [""] * (ncols - len(r))
+        out.append("| " + " | ".join(r) + " |")
+    return "\n".join(out)
+
+
+class BlockCollector:
+    """Walk a subtree in document order and emit markdown blocks.
+
+    Mirrors the reference's page-ordered serialization contract (M12):
+    blocks come out exactly in document order; filtered blocks are counted
+    in ``n_stripped``.
+    """
+
+    def __init__(self):
+        self.blocks: list[str] = []       # markdown text per block
+        self.spans: list[tuple] = []      # (start, end, kind) per block
+        self.n_stripped = 0
+
+    def _emit(self, text: str, node, kind: str):
+        if not text:
+            self.n_stripped += 1
+            return
+        span = _span_of(node)
+        self.blocks.append(text)
+        self.spans.append((span[0] if span else 0, span[1] if span else 0, kind))
+
+    def walk(self, node) -> None:
+        if isinstance(node, _Text):
+            txt = _WS_RE.sub(" ", node.data).strip()
+            if txt:
+                if len(txt) < MIN_BLOCK_CHARS:
+                    self.n_stripped += 1
+                else:
+                    self.blocks.append(txt)
+                    self.spans.append((node.start, node.end, "para"))
+            return
+        tag = node.tag
+        if tag in STRIP_TAGS:
+            self.n_stripped += 1
+            return
+        if tag in HEADING_TAGS:
+            txt = _inline_text(node)
+            if len(txt) < MIN_BLOCK_CHARS - 4:  # headings may be short
+                self.n_stripped += 1
+                return
+            self._emit("#" * int(tag[1]) + " " + txt, node, "heading")
+            return
+        if tag == "p":
+            txt = _inline_text(node)
+            if len(txt) < MIN_BLOCK_CHARS or link_density(node) > MAX_LINK_DENSITY:
+                self.n_stripped += 1
+                return
+            self._emit(txt, node, "para")
+            return
+        if tag in LIST_TAGS:
+            lines: list[str] = []
+            _render_list(node, tag == "ol", 0, lines)
+            self._emit("\n".join(lines), node, "list")
+            return
+        if tag == "pre":
+            raw = _raw_text(node)
+            raw = raw.strip("\n")
+            if not raw.strip():
+                self.n_stripped += 1
+                return
+            self._emit(f"```\n{raw}\n```", node, "code")
+            return
+        if tag == "table":
+            self._emit(_render_table(node), node, "table")
+            return
+        if tag == "blockquote":
+            inner = BlockCollector()
+            for c in node.children:
+                inner.walk(c)
+            self.n_stripped += inner.n_stripped
+            if inner.blocks:
+                quoted = "\n".join(
+                    "> " + ln for b in inner.blocks for ln in b.split("\n")
+                )
+                span = _span_of(node)
+                self.blocks.append(quoted)
+                self.spans.append((span[0] if span else 0, span[1] if span else 0, "quote"))
+            return
+        if tag == "hr":
+            return  # structural only; no text payload
+        # container tags: recurse
+        for c in node.children:
+            self.walk(c)
+
+
+def extract_html(src: str, strict: bool):
+    """Full HTML extraction.
+
+    Returns (blocks, spans, n_stripped). Raises StrictParseError in strict
+    mode on malformed input.
+    """
+    root = parse_html(src, strict)
+    main = select_main_content(root)
+    col = BlockCollector()
+    col.walk(main)
+    if not col.blocks and main is not root:
+        # fallback ladder step: main-content selection produced nothing ->
+        # whole-DOM pass (analog of the whole-doc serialize fallback,
+        # reference app/main.py:443-450)
+        col = BlockCollector()
+        col.walk(root)
+    return col.blocks, col.spans, col.n_stripped

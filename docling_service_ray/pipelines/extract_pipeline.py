@@ -1,0 +1,55 @@
+"""Flagship pipeline: transcript extraction + conversation stitching.
+
+Pipeline shape (SURVEY.md §7.1)::
+
+    read_parquet(transcripts/)                       # pruned columns
+      .map_batches(ExtractTurns, pyarrow, actors)    # stage E
+      [.groupby(conv_id,chunk).map_groups(stitch)    # stage G (optional)
+       .groupby(conv_id).map_groups(concat)]
+      .write_parquet(out/)                           # stage W
+
+Never materializes the corpus: the streaming executor pipelines read ->
+extract -> shuffle -> write with backpressure.
+"""
+
+from __future__ import annotations
+
+import ray.data as rd
+
+from ..stages.extract_stage import apply_extract
+from ..stages.stitch import stitch_conversations
+from ..transcripts import ensure_transcripts
+
+TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+
+def read_transcripts(sf_dir: str):
+    """Transcript Dataset for a scale factor (generates+caches on first use)."""
+    path = ensure_transcripts(sf_dir)
+    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+
+
+def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256):
+    """Per-turn extraction Dataset: input columns + extracted_text, spans,
+    stats, ok, error, extractor_path."""
+    ds = read_transcripts(sf_dir)
+    return apply_extract(ds, concurrency=concurrency, batch_size=batch_size)
+
+
+def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256):
+    """One stitched markdown document per conversation."""
+    return stitch_conversations(
+        extract_pipeline(sf_dir, concurrency=concurrency, batch_size=batch_size)
+    )
+
+
+def extracted_turns_sorted(sf_dir: str):
+    """Per-turn extraction in globally stable (conv_id, turn_idx) order —
+    the shape the oracle equality test compares against. The global sort is
+    only for test/verification output; production consumers use the
+    unsorted stream or the per-conversation stitched documents."""
+    ds = extract_pipeline(sf_dir)
+    flat = ds.select_columns(
+        ["conv_id", "turn_idx", "extracted_text", "ok", "error", "extractor_path"]
+    )
+    return flat.sort(["conv_id", "turn_idx"])

@@ -1,0 +1,88 @@
+"""End-to-end flagship pipeline tests: pipeline output must equal the
+pure-Python oracle byte-for-byte per turn, under stable (conv_id,
+turn_idx) ordering (the north-rule invariant)."""
+
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session):
+    from docling_service_ray.pipelines.extract_pipeline import extracted_turns_sorted
+
+    return extracted_turns_sorted(SF).to_pandas()
+
+
+def test_oracle_equality(extracted):
+    from docling_service_ray.transcripts import oracle_frame
+
+    oracle = oracle_frame(SF)
+    got = extracted.reset_index(drop=True)
+    assert len(got) == len(oracle)
+    assert list(got["conv_id"]) == list(oracle["conv_id"])
+    assert list(got["turn_idx"]) == list(oracle["turn_idx"])
+    # byte-for-byte per-turn text equality
+    mismatches = [
+        i
+        for i, (a, b) in enumerate(zip(got["extracted_text"], oracle["extracted_text"]))
+        if a != b
+    ]
+    assert mismatches == [], f"first mismatch row {mismatches[:3]}"
+    assert list(got["ok"]) == list(oracle["ok"])
+
+
+def test_ordering_restored_not_inherited(ray_session):
+    # the generator writes turns SHUFFLED; raw read must be out of order
+    from docling_service_ray.pipelines.extract_pipeline import read_transcripts
+
+    raw = read_transcripts(SF).to_pandas()
+    conv = raw[raw["conv_id"] == "conv-0000001"]["turn_idx"].tolist()
+    assert conv != sorted(conv), "fixture must not be pre-sorted"
+
+
+def test_stitch_documents(ray_session):
+    from docling_service_ray.pipelines.extract_pipeline import stitch_pipeline
+    from docling_service_ray.transcripts import n_turns_for
+
+    docs = stitch_pipeline(SF).to_pandas().set_index("conv_id")
+    # one row per conversation
+    assert len(docs) == 50
+    # mega conversation stitched across salt chunks, all turns present
+    mega = docs.loc["conv-0000000"]
+    assert mega["n_turns"] == n_turns_for(0) == 400
+    body = mega["document"]
+    # turn markers in ascending order
+    import re
+
+    markers = [int(m) for m in re.findall(r"<!-- Turn (\d+) \(", body)]
+    assert markers == sorted(markers)
+    assert markers[0] == 0 and markers[-1] == 399
+    # metadata block framing is byte-exact
+    assert "<!-- DOCLING_METADATA_START -->" in body
+    assert body.rstrip().endswith("<!-- DOCLING_METADATA_END -->")
+    assert '"total_turns": 400' in body
+
+
+def test_parallelism_invariance(ray_session):
+    """Same result at different batch sizes / concurrency (determinism
+    across execution plans — the single-node stand-in for cluster-size
+    invariance)."""
+    from docling_service_ray.pipelines.extract_pipeline import extract_pipeline
+
+    a = (
+        extract_pipeline(SF, concurrency=2, batch_size=64)
+        .select_columns(["conv_id", "turn_idx", "extracted_text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        extract_pipeline(SF, concurrency=3, batch_size=512)
+        .select_columns(["conv_id", "turn_idx", "extracted_text"])
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
