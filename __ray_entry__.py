@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``     — flagship transcript-extraction pipeline at sf0.001.
+- ``queries()``   — one callable per implemented operator/pipeline
+                    (SURVEY.md §2 + training-data ops), each taking
+                    ``sf_dir`` and returning a Dataset/DataFrame/Table.
+- ``oracle_sql()``— DuckDB SQL equivalents with IDENTICAL column names and
+                    integer-exact value semantics. Ops that SQL can't
+                    express (custom extractor, approximate/LSH methods,
+                    heuristic classifiers) are intentionally absent here
+                    and get the weaker rows-only check; their strong
+                    correctness gate is tests/ (byte-for-byte oracle
+                    equality against the pure-Python extractor).
 """
 
 from __future__ import annotations
@@ -20,25 +23,32 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: per-turn main-content
+    extraction over the synthetic transcript corpus (generated
+    deterministically on first use, cached under /tmp)."""
+    from docling_service_ray.pipelines.extract_pipeline import extract_pipeline
+
+    ds = extract_pipeline("/root/testdata/sf0.001")
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "role", "extracted_text", "ok", "error",
+         "extractor_path"]
+    )
+
+
+def _registry() -> tuple[dict, dict]:
+    from docling_service_ray.pipelines import relational, training
+
+    queries: dict[str, Callable[[str], Any]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (relational, training):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLES)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,45 @@
+"""Content hashing (dedup keys, fingerprints).
+
+The reference keys artifacts by ``xxhash.xxh64(bytes).hexdigest()``
+(``app/main.py:716-718``; ``scripts/r2_migrate_xxhash.py:97-99``). xxhash
+isn't available here; md5 (stdlib, also available in DuckDB for oracle
+parity) serves as the content hash, and blake2b provides cheap 64-bit
+partitioning keys.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def md5_hex_array(texts) -> pa.Array:
+    """Element-wise md5 hexdigest of a string Arrow array/chunked array."""
+    out = [
+        hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
+        if t is not None
+        else None
+        for t in texts.to_pylist()
+    ]
+    return pa.array(out, pa.string())
+
+
+def hash64(text: str) -> int:
+    """Stable signed 64-bit content hash (partitioning / bucketing key)."""
+    d = hashlib.blake2b(text.encode("utf-8", "surrogatepass"), digest_size=8).digest()
+    return int.from_bytes(d, "big", signed=True)
+
+
+def hash64_array(texts) -> pa.Array:
+    return pa.array(
+        [hash64(t) if t is not None else None for t in texts.to_pylist()],
+        pa.int64(),
+    )
+
+
+def stable_seed(*parts) -> np.random.Generator:
+    """Deterministic numpy Generator from string parts (no wall clock)."""
+    h = hashlib.blake2b(":".join(map(str, parts)).encode(), digest_size=8).digest()
+    return np.random.default_rng(int.from_bytes(h, "big"))

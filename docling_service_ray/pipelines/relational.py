@@ -1,0 +1,366 @@
+"""Reference-analog relational queries + their DuckDB oracle SQL.
+
+Each operator from SURVEY.md §2 that is SQL-expressible gets BOTH a Ray
+Data implementation and an ANSI-SQL oracle with IDENTICAL column names and
+value semantics (integer units for money — see functions/money.py).
+
+Registry shape: ``QUERIES[name] = fn(sf_dir) -> Dataset``;
+``ORACLES[name] = sql``. __ray_entry__ aggregates these.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.money import to_cents
+from ..sources.tables import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# S1/M5 analog: validation filter at the read (predicate pushed into scan)
+# ---------------------------------------------------------------------------
+@register(
+    "validate_filter",
+    "SELECT doc_id, lang, source, n_chars FROM documents "
+    "WHERE n_chars >= 100 AND n_chars <= 20000",
+)
+def validate_filter(sf_dir: str):
+    # row-group/predicate pushdown at the read — upload-validation analog
+    # (reference app/main.py:1074-1087)
+    import pyarrow.dataset as pads
+
+    return read_table(
+        sf_dir,
+        "documents",
+        columns=["doc_id", "lang", "source", "n_chars"],
+        filter=(pads.field("n_chars") >= 100) & (pads.field("n_chars") <= 20000),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M14/M16 analog: output-key composition + extension->MIME mapping
+# ---------------------------------------------------------------------------
+@register(
+    "output_keys",
+    "SELECT doc_id, "
+    "'markdown/' || CAST(doc_id AS VARCHAR) || '/' || source || '.md' AS out_key, "
+    "CASE CAST(substr(source, 4) AS INTEGER) % 3 WHEN 0 THEN 'application/pdf' "
+    "WHEN 1 THEN 'text/html' ELSE 'text/plain' END AS mime "
+    "FROM documents",
+)
+def output_keys(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "source"])
+
+    def compose(batch: pd.DataFrame) -> pd.DataFrame:
+        # key composition mirrors reference app/main.py:864 ('markdown/{id}/{name}')
+        out_key = "markdown/" + batch["doc_id"].astype(str) + "/" + batch["source"] + ".md"
+        n = batch["source"].str[3:].astype(int) % 3
+        mime = np.select(
+            [n == 0, n == 1], ["application/pdf", "text/html"], "text/plain"
+        )
+        return pd.DataFrame(
+            {"doc_id": batch["doc_id"], "out_key": out_key, "mime": mime}
+        )
+
+    return ds.map_batches(compose, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# A3 analog: action counting
+# ---------------------------------------------------------------------------
+@register(
+    "count_by_event_type",
+    "SELECT event_type, COUNT(*) AS n FROM events GROUP BY event_type",
+)
+def count_by_event_type(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "events", columns=["event_type"])
+    return ds.groupby("event_type").aggregate(Count(alias_name="n"))
+
+
+# ---------------------------------------------------------------------------
+# A4 analog: size accounting per backend/source
+# ---------------------------------------------------------------------------
+@register(
+    "chars_by_source",
+    "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+    "FROM documents GROUP BY source",
+)
+def chars_by_source(sf_dir: str):
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "n_chars"])
+    return ds.groupby("source").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="total_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 analog: retention cutoff filter
+# ---------------------------------------------------------------------------
+RETENTION_CUTOFF = "2024-01-15 00:00:00"
+
+
+@register(
+    "retention_filter",
+    f"SELECT event_id, event_type, ts FROM events "
+    f"WHERE ts >= TIMESTAMP '{RETENTION_CUTOFF}'",
+)
+def retention_filter(sf_dir: str):
+    cutoff = pa.scalar(
+        np.datetime64(RETENTION_CUTOFF.replace(" ", "T"), "us"), pa.timestamp("us")
+    )
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["ts"], cutoff)),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 analog: eviction ordering — keep newest k (recency top-k)
+# ---------------------------------------------------------------------------
+@register(
+    "top_recent",
+    "SELECT event_id, ts FROM events ORDER BY ts DESC, event_id DESC LIMIT 100",
+)
+def top_recent(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "ts"])
+    return ds.sort(["ts", "event_id"], descending=True).limit(100)
+
+
+# ---------------------------------------------------------------------------
+# D1/D2 analog: exact content dedup, first-wins (+ action accounting)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    "SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id FROM documents GROUP BY md5(text)",
+)
+def dedup_exact(sf_dir: str):
+    from ..stages.dedup import exact_dedup_keep_min
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_keep_min(ds)
+
+
+@register(
+    "dedup_actions",
+    "SELECT doc_id, CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) "
+    "THEN 'kept' ELSE 'deduplicated' END AS action FROM documents",
+)
+def dedup_actions(sf_dir: str):
+    from ..stages.dedup import exact_dedup_actions
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return exact_dedup_actions(ds)
+
+
+# ---------------------------------------------------------------------------
+# M15 analog: key-format predicate (vectorized regex filter)
+# ---------------------------------------------------------------------------
+@register(
+    "regex_key_filter",
+    "SELECT event_id, props FROM events "
+    "WHERE regexp_matches(props, '\"k\": [0-9]*[02468]}')",
+)
+def regex_key_filter(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+    return ds.map_batches(
+        lambda t: t.filter(
+            pc.match_substring_regex(t["props"], '"k": [0-9]*[02468]}')
+        ),
+        batch_format="pyarrow",
+    )
+
+
+# ---------------------------------------------------------------------------
+# O1/M12 analog over events: per-key ordered stitching (groupby + in-group
+# sort), SQL-checkable via string_agg ORDER BY
+# ---------------------------------------------------------------------------
+@register(
+    "stitch_events",
+    "SELECT user_id, string_agg(event_type, '|' ORDER BY ts, event_id) AS event_seq, "
+    "COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
+def stitch_events(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+
+    def stitch(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "event_seq": ["|".join(g["event_type"])],
+                "n_events": [np.int64(len(g))],
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(stitch, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# J1 analog: broadcast (map-side) join — small dims shipped once via ray.put
+# ---------------------------------------------------------------------------
+@register(
+    "orders_by_nation",
+    "SELECT n.n_name AS nation, COUNT(*) AS n_orders, "
+    "SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
+)
+def orders_by_nation(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    # small sides materialized ONCE on the driver, broadcast via ray.put —
+    # never re-shipped per batch, never shuffled
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_to_nation = dict(
+        zip(
+            cust["c_custkey"].to_numpy(),
+            nat.set_index("n_nationkey")["n_name"].reindex(cust["c_nationkey"]).to_numpy(),
+        )
+    )
+    lookup_ref = ray.put(cust_to_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # map-side lookup + PARTIAL aggregation per batch (pre-aggregate
+        # before the shuffle — §2.5 guidance)
+        lookup = ray.get(lookup_ref)
+        custkeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+        nations = pd.Series(custkeys).map(lookup).to_numpy()
+        cents = to_cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"nation": nations, "cents": cents})
+        agg = df.groupby("nation", sort=True).agg(
+            n_orders=("cents", "size"), total_cents=("cents", "sum")
+        ).reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    return partials.groupby("nation").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 analog headline aggregate: pricing summary (pre-aggregated, exact ints)
+# ---------------------------------------------------------------------------
+Q1_CUTOFF = "1998-09-02 00:00:00"
+
+
+@register(
+    "q1_pricing",
+    "SELECT l_returnflag, l_linestatus, "
+    "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents, "
+    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents, "
+    "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
+    "AS sum_disc_cents, COUNT(*) AS n_rows "
+    f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
+    "GROUP BY l_returnflag, l_linestatus",
+)
+def q1_pricing(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    cutoff = pa.scalar(
+        np.datetime64(Q1_CUTOFF.replace(" ", "T"), "us"), pa.timestamp("us")
+    )
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less_equal(batch["l_shipdate"], cutoff))
+        disc_price = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch["l_returnflag"].to_pandas(),
+                "l_linestatus": batch["l_linestatus"].to_pandas(),
+                "sum_qty_cents": to_cents(batch["l_quantity"]).to_numpy(zero_copy_only=False),
+                "sum_base_cents": to_cents(batch["l_extendedprice"]).to_numpy(zero_copy_only=False),
+                "sum_disc_cents": to_cents(disc_price).to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = (
+            df.groupby(["l_returnflag", "l_linestatus"], sort=True)
+            .agg(
+                sum_qty_cents=("sum_qty_cents", "sum"),
+                sum_base_cents=("sum_base_cents", "sum"),
+                sum_disc_cents=("sum_disc_cents", "sum"),
+                n_rows=("sum_qty_cents", "size"),
+            )
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty_cents", alias_name="sum_qty_cents"),
+        Sum("sum_base_cents", alias_name="sum_base_cents"),
+        Sum("sum_disc_cents", alias_name="sum_disc_cents"),
+        Sum("n_rows", alias_name="n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# streaming-analog: tumbling hourly windows per user (integer bucket math)
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_windows",
+    "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+    "COUNT(*) AS n_events, "
+    "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS value_micros "
+    "FROM events GROUP BY user_id, hour_bucket",
+)
+def hourly_windows(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000  # int64 floor division, exact (SQL `//`)
+        micros = to_cents(batch["value"], scale=1_000_000)
+        df = pd.DataFrame(
+            {
+                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+                "hour_bucket": hour,
+                "micros": micros.to_numpy(zero_copy_only=False),
+            }
+        )
+        agg = (
+            df.groupby(["user_id", "hour_bucket"], sort=True)
+            .agg(n_events=("micros", "size"), value_micros=("micros", "sum"))
+            .reset_index()
+        )
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby(["user_id", "hour_bucket"]).aggregate(
+        Sum("n_events", alias_name="n_events"),
+        Sum("value_micros", alias_name="value_micros"),
+    )

@@ -1,0 +1,245 @@
+"""Training-data pipeline queries: text analysis, dedup family, similarity
+search, and the flagship transcript pipelines — with DuckDB oracles where
+the semantics are SQL-expressible, rows-only otherwise (stateful /
+model-scoring / approximate ops).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from ..sources.tables import read_table
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+@register(
+    "token_counts",
+    "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+    "FROM documents",
+)
+def token_counts(sf_dir: str):
+    from ..stages.text_analysis import token_count_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(token_count_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_tokens"]
+    )
+
+
+@register(
+    "char_classes",
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_m, "
+    "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits, "
+    "CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels "
+    "FROM documents",
+)
+def char_classes(sf_dir: str):
+    from ..stages.text_analysis import char_class_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(char_class_batch, batch_format="pandas").select_columns(
+        ["doc_id", "n_chars_m", "n_spaces", "n_digits", "n_vowels"]
+    )
+
+
+@register(
+    "fingerprints",
+    "SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp "
+    "FROM documents",
+)
+def fingerprints(sf_dir: str):
+    from ..stages.text_analysis import fingerprint_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(
+        ["doc_id", "fp"]
+    )
+
+
+@register("langid")  # heuristic classifier — no SQL oracle (rows-only check)
+def langid(sf_dir: str):
+    from ..stages.text_analysis import LangId
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        LangId, batch_format="pyarrow", concurrency=2
+    ).select_columns(["doc_id", "lang_pred"])
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+@register("dedup_minhash")  # approximate candidate generation — rows-only
+def dedup_minhash(sf_dir: str):
+    from ..stages.dedup import minhash_lsh_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    texts = dict(
+        zip(*(ds.to_pandas()[c] for c in ("doc_id", "text")))
+    )  # broadcast verify side (test scale; see stage docstring)
+    return minhash_lsh_pairs(ds, threshold=0.8, verify_texts=texts)
+
+
+@register("dedup_simhash")  # rows-only
+def dedup_simhash(sf_dir: str):
+    from ..stages.dedup import SimHasher, simhash_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    signed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    return simhash_pairs(signed, max_hamming=3)
+
+
+@register("dedup_ngram_jaccard")  # rows-only
+def dedup_ngram_jaccard(sf_dir: str):
+    from ..stages.dedup import ngram_jaccard_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    texts = dict(zip(*(ds.to_pandas()[c] for c in ("doc_id", "text"))))
+    return ngram_jaccard_pairs(ds, threshold=0.7, verify_texts=texts)
+
+
+@register(
+    "dedup_embedding",
+    "SELECT a.vec_id AS vec_id, ("
+    "SELECT COUNT(*) FROM embeddings b WHERE b.vec_id <> a.vec_id "
+    "AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+    "CAST(b.embedding AS DOUBLE[])) >= 0.95) AS n_dups "
+    "FROM embeddings a",
+)
+def dedup_embedding(sf_dir: str):
+    from ..stages.dedup import embedding_dup_counts
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_dup_counts(ds, threshold=0.95)
+
+
+@register(
+    "embedding_nn",
+    "SELECT vec_id, neighbor_id AS nn_id FROM ("
+    "SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id, ROW_NUMBER() OVER ("
+    "PARTITION BY a.vec_id ORDER BY list_cosine_similarity("
+    "CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, "
+    "b.vec_id) AS rnk FROM embeddings a CROSS JOIN embeddings b "
+    "WHERE a.vec_id <> b.vec_id) WHERE rnk = 1",
+)
+def embedding_nn(sf_dir: str):
+    """Exact 1-NN per vector (all-pairs, batched matmul against the
+    broadcast matrix)."""
+    import ray
+
+    from ..stages.similarity import _normalize
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    ref_tbl = ds.to_pandas()
+    ids = ref_tbl["vec_id"].to_numpy()
+    mat = _normalize(np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64))
+    ref = ray.put((ids, mat))
+
+    def nn(batch: pd.DataFrame) -> pd.DataFrame:
+        all_ids, all_mat = ray.get(ref)
+        # column order ascending by id => np.argmax's first-max rule IS the
+        # "tie-break by neighbor_id asc" rule
+        order = np.argsort(all_ids, kind="mergesort")
+        oid, omat = all_ids[order], all_mat[order]
+        bids = batch["vec_id"].to_numpy()
+        bmat = _normalize(np.stack(batch["embedding"].to_numpy()).astype(np.float64))
+        sims = bmat @ omat.T
+        sims[bids[:, None] == oid[None, :]] = -np.inf  # mask self
+        nn_ids = oid[np.argmax(sims, axis=1)]
+        return pd.DataFrame(
+            {"vec_id": bids.astype("int64"), "nn_id": nn_ids.astype("int64")}
+        )
+
+    return ds.map_batches(nn, batch_format="pandas", batch_size=1024)
+
+
+@register("dedup_embedding_lsh")  # approximate scale path — rows-only
+def dedup_embedding_lsh(sf_dir: str):
+    from ..stages.dedup import embedding_neardup_lsh
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return embedding_neardup_lsh(ds, threshold=0.95)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+@register(
+    "ann_topk",
+    "WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe "
+    "FROM embeddings WHERE vec_id IN (0, 1, 2, 3, 4)), "
+    "s AS (SELECT q.qid AS query_id, e.vec_id AS neighbor_id, "
+    "list_cosine_similarity(q.qe, CAST(e.embedding AS DOUBLE[])) AS sim "
+    "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.qid) "
+    "SELECT query_id, neighbor_id, rank FROM ("
+    "SELECT query_id, neighbor_id, ROW_NUMBER() OVER ("
+    "PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank FROM s) "
+    f"WHERE rank <= {ANN_K}",
+)
+def ann_topk(sf_dir: str):
+    from ..stages.similarity import brute_force_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return brute_force_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+@register("ann_ivf_topk")  # approximate (nprobe recall) — rows-only
+def ann_ivf_topk(sf_dir: str):
+    from ..stages.similarity import ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# flagship transcript pipelines (non-SQL-expressible: custom extractor)
+# ---------------------------------------------------------------------------
+@register("extract_turns")  # rows-only (oracle is the pure-Python extractor,
+def extract_turns(sf_dir: str):  # enforced byte-for-byte in tests/)
+    from .extract_pipeline import extract_pipeline
+
+    ds = extract_pipeline(sf_dir)
+    return ds.select_columns(
+        ["conv_id", "turn_idx", "ok", "extractor_path"]
+    )
+
+
+@register("stitch_convs")  # rows-only
+def stitch_convs(sf_dir: str):
+    from .extract_pipeline import stitch_pipeline
+
+    ds = stitch_pipeline(sf_dir)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "n_turns": batch["n_turns"].astype("int64"),
+                "n_errors": batch["n_errors"].astype("int64"),
+                "doc_chars": batch["document"].str.len().astype("int64"),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pandas")

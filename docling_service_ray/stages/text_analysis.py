@@ -1,0 +1,104 @@
+"""Text-analysis stages for training-data pipelines.
+
+All hot paths are vectorized pandas/pyarrow string kernels; the only
+per-row Python is hashing (hashlib has no batch API). Counting semantics
+are defined to be expressible in ANSI SQL so DuckDB oracles can verify
+them bit-exactly (integer outputs only — see functions/money.py for why).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pandas as pd
+import pyarrow as pa
+
+
+def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """n_tokens = number of whitespace-separated tokens.
+
+    SQL mirror: CASE WHEN trim(text)='' THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+    """
+    s = batch[text_col].fillna("").str.strip()
+    n = s.str.count(r"\s+") + 1
+    n[s == ""] = 0
+    batch = batch.copy()
+    batch["n_tokens"] = n.astype("int64")
+    return batch
+
+
+def char_class_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """ASCII char-class counts (quality-scoring raw features).
+
+    SQL mirrors use length(text) - length(regexp_replace(text, cls, '', 'g')).
+    """
+    s = batch[text_col].fillna("")
+    batch = batch.copy()
+    batch["n_chars_m"] = s.str.len().astype("int64")
+    batch["n_spaces"] = s.str.count(" ").astype("int64")
+    batch["n_digits"] = s.str.count(r"[0-9]").astype("int64")
+    batch["n_vowels"] = s.str.count(r"[aeiou]").astype("int64")
+    return batch
+
+
+_NORM_WS = re.compile(r"\s+")
+
+
+def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Document fingerprint: md5 of whitespace-collapsed lowercase text.
+
+    SQL mirror: md5(regexp_replace(lower(text), '\\s+', ' ', 'g')).
+    (Content-hash keying analog of reference app/main.py:716-718.)
+    """
+    s = batch[text_col].fillna("").str.lower().str.replace(_NORM_WS, " ", regex=True)
+    batch = batch.copy()
+    batch["fp"] = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in s]
+    return batch
+
+
+# --- language id (heuristic; stateful actor) --------------------------------
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for"},
+    "fr": {"le", "la", "et", "de", "un", "une", "est", "que", "pour", "dans"},
+    "es": {"el", "la", "y", "de", "un", "una", "es", "que", "por", "en"},
+    "de": {"der", "die", "und", "das", "ein", "ist", "nicht", "mit", "für", "auf"},
+    "zh": set(),  # no-stopword fallback handled by CJK codepoint ratio
+}
+
+_LANG_ORDER = ["en", "fr", "es", "de"]  # deterministic tie-break order
+
+
+class LangId:
+    """Stopword-profile + CJK-ratio language classifier.
+
+    Actor-pool stage: profiles and regexes are compiled once per actor in
+    ``__init__`` (converter-cache pattern ST1, reference
+    ``app/main.py:155-197``), batches scored in ``__call__``.
+    """
+
+    def __init__(self):
+        self.word_re = re.compile(r"[a-zA-Zäöüéèàç]+")
+        self.cjk_re = re.compile(r"[一-鿿]")
+        self.profiles = {k: v for k, v in _LANG_PROFILES.items() if v}
+
+    def classify(self, text: str) -> str:
+        if not text:
+            return "unknown"
+        if len(self.cjk_re.findall(text)) * 2 > len(text.split()):
+            return "zh"
+        words = [w.lower() for w in self.word_re.findall(text)]
+        if not words:
+            return "unknown"
+        best_lang, best = "unknown", 0
+        for lang in _LANG_ORDER:
+            hits = sum(1 for w in words if w in self.profiles[lang])
+            if hits > best:
+                best_lang, best = lang, hits
+        return best_lang
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = [self.classify(t) for t in batch["text"].to_pylist()]
+        return batch.append_column("lang_pred", pa.array(preds, pa.string()))

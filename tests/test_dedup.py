@@ -1,0 +1,109 @@
+"""Operator tests for the dedup family with planted duplicates."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the engine "
+        "streams arrow batches through the actor pool " * 5
+    )
+    rows = [
+        {"doc_id": 0, "text": base},
+        {"doc_id": 1, "text": base},  # exact dup of 0
+        {"doc_id": 2, "text": base.replace("lazy", "sleepy")},  # near dup of 0
+        {"doc_id": 3, "text": "completely different tiny text"},
+        {"doc_id": 4, "text": "another unrelated document about nothing at all "
+                              "with many distinct words inside it"},
+    ]
+    return rd.from_items(rows), {r["doc_id"]: r["text"] for r in rows}
+
+
+def test_exact_dedup(docs_ds):
+    from docling_service_ray.stages.dedup import exact_dedup_keep_min
+
+    ds, _ = docs_ds
+    kept = sorted(exact_dedup_keep_min(ds).to_pandas()["doc_id"])
+    assert kept == [0, 2, 3, 4]  # doc 1 deduplicated into 0
+
+
+def test_exact_dedup_actions(docs_ds):
+    from docling_service_ray.stages.dedup import exact_dedup_actions
+
+    ds, _ = docs_ds
+    acts = exact_dedup_actions(ds).to_pandas().set_index("doc_id")["action"]
+    assert acts[0] == "kept" and acts[1] == "deduplicated"
+    assert acts[2] == acts[3] == acts[4] == "kept"
+
+
+def test_minhash_lsh_finds_near_dup(docs_ds):
+    from docling_service_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, texts = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, verify_texts=texts).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found  # near dup
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_simhash_pairs(docs_ds):
+    from docling_service_ray.stages.dedup import SimHasher, simhash_pairs
+
+    ds, _ = docs_ds
+    signed = ds.map_batches(SimHasher, batch_format="pandas", concurrency=1)
+    pairs = simhash_pairs(signed, max_hamming=3).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in found  # identical text -> hamming 0
+    assert not any(3 in p or 4 in p for p in found)
+
+
+def test_ngram_jaccard_pairs(docs_ds):
+    from docling_service_ray.stages.dedup import ngram_jaccard_pairs
+
+    ds, texts = docs_ds
+    pairs = ngram_jaccard_pairs(ds, threshold=0.7, verify_texts=texts).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert (0, 1) in found and (0, 2) in found
+
+
+@pytest.fixture(scope="module")
+def emb_ds(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    vecs = rng.standard_normal((20, 16))
+    vecs[1] = vecs[0] + 0.001 * rng.standard_normal(16)  # planted near-dup
+    rows = [
+        {"vec_id": i, "embedding": vecs[i].astype(np.float32).tolist()}
+        for i in range(len(vecs))
+    ]
+    return rd.from_items(rows)
+
+
+def test_embedding_neardup_exact(emb_ds):
+    from docling_service_ray.stages.dedup import embedding_neardup_pairs
+
+    pairs = embedding_neardup_pairs(emb_ds, threshold=0.99).to_pandas()
+    assert set(zip(pairs["a"], pairs["b"])) == {(0, 1)}
+
+
+def test_embedding_neardup_lsh(emb_ds):
+    from docling_service_ray.stages.dedup import embedding_neardup_lsh
+
+    pairs = embedding_neardup_lsh(emb_ds, threshold=0.99, dim=16).to_pandas()
+    # sign-LSH puts near-identical vectors in the same bucket
+    assert (0, 1) in set(zip(pairs["a"], pairs["b"]))
+
+
+def test_embedding_dup_counts(emb_ds):
+    from docling_service_ray.stages.dedup import embedding_dup_counts
+
+    counts = embedding_dup_counts(emb_ds, threshold=0.99).to_pandas()
+    m = counts.set_index("vec_id")["n_dups"]
+    assert m[0] == 1 and m[1] == 1 and m[5] == 0

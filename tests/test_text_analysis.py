@@ -1,0 +1,42 @@
+"""Text-analysis stage unit tests."""
+
+import pandas as pd
+
+
+def test_token_counts():
+    from docling_service_ray.stages.text_analysis import token_count_batch
+
+    df = pd.DataFrame({"text": ["a b  c", "", "   ", "one", "x\ty\nz"]})
+    out = token_count_batch(df)["n_tokens"].tolist()
+    assert out == [3, 0, 0, 1, 3]
+
+
+def test_char_classes():
+    from docling_service_ray.stages.text_analysis import char_class_batch
+
+    df = pd.DataFrame({"text": ["ab1 e!"]})
+    out = char_class_batch(df).iloc[0]
+    assert out["n_chars_m"] == 6
+    assert out["n_spaces"] == 1
+    assert out["n_digits"] == 1
+    assert out["n_vowels"] == 2  # a, e
+
+
+def test_fingerprint_ws_invariant():
+    from docling_service_ray.stages.text_analysis import fingerprint_batch
+
+    df = pd.DataFrame({"text": ["Hello   World", "hello world", "hello\nworld"]})
+    fps = fingerprint_batch(df)["fp"].tolist()
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_langid():
+    from docling_service_ray.stages.text_analysis import LangId
+
+    li = LangId()
+    assert li.classify("the cat and the dog sat in a corner of the room") == "en"
+    assert li.classify("le chat et le chien dans la maison pour une heure") == "fr"
+    assert li.classify("el gato y el perro es una historia que por la casa") == "es"
+    assert li.classify("der hund und die katze das ist ein gutes haus") == "de"
+    assert li.classify("") == "unknown"
+    assert li.classify("你好 世界 这是 中文 文本 测试") == "zh"
