@@ -48,11 +48,33 @@ class ExtractResult:
 
 def detect_format(text: str) -> str:
     """'layout' | 'html' | 'plain' — deterministic content sniffing."""
-    if is_layout(text):
-        return "layout"
+    for name, probe in _FORMAT_PROBES:
+        if probe(text):
+            return name
     if _HTML_TAG_RE.search(text):
         return "html"
     return "plain"
+
+
+# --- user-extension surface -------------------------------------------------
+# format registry (the Ray-native analog of the reference's per-format
+# converter options, app/main.py:191-197): register a content probe + an
+# extractor returning (blocks, spans, n_stripped). Probes run before the
+# built-in html/plain sniffing, first match wins, in registration order.
+_FORMAT_PROBES: list = [("layout", is_layout)]
+_EXTRACTORS: dict = {}
+
+
+def register_format(name: str, probe, extractor) -> None:
+    """Register a custom turn format.
+
+    ``probe(text) -> bool`` decides routing; ``extractor(text) ->
+    (blocks, spans, n_stripped)`` produces ordered markdown blocks. The
+    fallback ladder and error capture of :func:`extract_turn` wrap it
+    automatically.
+    """
+    _FORMAT_PROBES.insert(0, (name, probe))
+    _EXTRACTORS[name] = extractor
 
 
 def extract_turn(text) -> ExtractResult:
@@ -68,7 +90,10 @@ def extract_turn(text) -> ExtractResult:
         return r
     try:
         fmt = detect_format(text)
-        if fmt == "layout":
+        if fmt in _EXTRACTORS:  # user-registered format
+            blocks, spans, n_stripped = _EXTRACTORS[fmt](text)
+            path = fmt
+        elif fmt == "layout":
             blocks, spans, n_stripped = extract_layout(text)
             path = "layout"
         elif fmt == "html":

@@ -23,16 +23,21 @@ from ..transcripts import ensure_transcripts
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
-def read_transcripts(sf_dir: str):
-    """Transcript Dataset for a scale factor (generates+caches on first use)."""
+def read_transcripts(sf_dir: str, columns=None):
+    """Transcript Dataset for a scale factor (generates+caches on first use).
+
+    Prune ``columns`` to what the consumer needs — the read decodes only
+    those parquet columns (100 TB rule: unused columns never leave storage).
+    """
     path = ensure_transcripts(sf_dir)
-    return rd.read_parquet(path, columns=TRANSCRIPT_COLUMNS)
+    return rd.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS)
 
 
-def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256):
+def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256,
+                     columns=None):
     """Per-turn extraction Dataset: input columns + extracted_text, spans,
     stats, ok, error, extractor_path."""
-    ds = read_transcripts(sf_dir)
+    ds = read_transcripts(sf_dir, columns=columns)
     return apply_extract(ds, concurrency=concurrency, batch_size=batch_size)
 
 

@@ -214,6 +214,43 @@ def ann_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# multimodal plumbing (codec stubbed; schema/actor plumbing real — rows-only)
+# ---------------------------------------------------------------------------
+@register("multimodal_meta")
+def multimodal_meta(sf_dir: str):
+    from ..stages.multimodal import DecodeImage, ResizeFilter, attach_payload_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = ds.map_batches(
+        attach_payload_batch, batch_format="pyarrow", batch_size=256
+    )
+    # two chained actor pools: fractional num_cpus so both pools + the read
+    # task fit even a 4-CPU session (full-CPU pools here deadlock the
+    # streaming executor by starving the read — observed, not theoretical)
+    decoded = with_payload.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    )
+    filtered = decoded.map_batches(
+        ResizeFilter, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        meta = pd.DataFrame(list(batch["image_meta"]))
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "width": meta["width"].astype("int64"),
+                "height": meta["height"].astype("int64"),
+                "n_bytes": meta["n_bytes"].astype("int64"),
+            }
+        )
+
+    return filtered.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # flagship transcript pipelines (non-SQL-expressible: custom extractor)
 # ---------------------------------------------------------------------------
 @register("extract_turns")  # rows-only (oracle is the pure-Python extractor,

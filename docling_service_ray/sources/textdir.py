@@ -1,0 +1,46 @@
+"""Raw-file sources: directories of text/binary documents as Datasets.
+
+The reference's two ingestion paths — multipart upload (S1,
+``app/main.py:1033-1098``) and URL fetch (S2, ``app/main.py:1099-1105``) —
+become Dataset sources: a local directory of files stands in for the
+upload store; a (bucket/prefix) URI read via ``read_binary_files`` stands
+in for remote fetch (no network in this sandbox, but the API shape is the
+same pyarrow-fs path as sinks.make_filesystem).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+ALLOWED_SUFFIXES = (".txt", ".md", ".html", ".htm")  # ext gate, S1 analog
+MAX_DOC_BYTES = 25 * 1024 * 1024  # reference upload cap (app/config.py:14)
+
+
+def read_text_documents(path_or_paths, *, suffixes=ALLOWED_SUFFIXES):
+    """Directory/list of text files -> Dataset(doc_id: string, text: string,
+    n_bytes: int64), with the reference's extension + size validation
+    applied as vectorized per-batch predicates (rows, not exceptions)."""
+    ds = rd.read_binary_files(
+        path_or_paths, include_paths=True, file_extensions=[s.lstrip(".") for s in suffixes]
+    )
+
+    def to_docs(batch: pa.Table) -> pa.Table:
+        paths = batch["path"].to_pylist()
+        blobs = batch["bytes"].to_pylist()
+        doc_ids, texts, sizes = [], [], []
+        for p, b in zip(paths, blobs):
+            if len(b) > MAX_DOC_BYTES:
+                continue  # size gate (app/main.py:1080-1087)
+            doc_ids.append(p)
+            texts.append(b.decode("utf-8", errors="replace"))
+            sizes.append(len(b))
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+            }
+        )
+
+    return ds.map_batches(to_docs, batch_format="pyarrow")

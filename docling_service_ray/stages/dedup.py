@@ -102,12 +102,13 @@ class MinHasher:
             items = [" ".join(toks)] if toks else []
         else:
             items = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        if not items:
+        uniq = set(items)
+        if not uniq:
             return np.zeros(0, dtype=np.uint64)
         return np.fromiter(
-            (hash64(s) & 0x7FFFFFFFFFFFFFFF for s in set(items)),
+            (hash64(s) & 0x7FFFFFFFFFFFFFFF for s in uniq),
             dtype=np.uint64,
-            count=len(set(items)),
+            count=len(uniq),
         )
 
     def signature(self, text: str) -> np.ndarray:

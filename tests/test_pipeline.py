@@ -65,6 +65,31 @@ def test_stitch_documents(ray_session):
     assert '"total_turns": 400' in body
 
 
+def test_stitch_variants_identical(ray_session):
+    """The fast hash-bucket stitch and the salted two-level groupby stitch
+    must produce byte-identical documents."""
+    from docling_service_ray.pipelines.extract_pipeline import extract_pipeline
+    from docling_service_ray.stages.stitch import (
+        stitch_conversations,
+        stitch_conversations_salted,
+    )
+
+    ds = extract_pipeline(SF)
+    a = (
+        stitch_conversations(ds, n_buckets=7)  # odd bucket count on purpose
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        stitch_conversations_salted(ds)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_parallelism_invariance(ray_session):
     """Same result at different batch sizes / concurrency (determinism
     across execution plans — the single-node stand-in for cluster-size

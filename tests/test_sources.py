@@ -1,0 +1,32 @@
+"""File-source tests: text-directory ingestion with ext/size gates."""
+
+import os
+import shutil
+
+
+def test_read_text_documents(ray_session):
+    from docling_service_ray.sources.textdir import read_text_documents
+
+    d = "/tmp/graft_test_textdir"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    with open(os.path.join(d, "a.txt"), "w") as f:
+        f.write("hello world document")
+    with open(os.path.join(d, "b.html"), "w") as f:
+        f.write("<html><body><p>html doc content</p></body></html>")
+    with open(os.path.join(d, "c.exe"), "wb") as f:
+        f.write(b"\x00binary")  # extension gate must drop this
+
+    out = read_text_documents(d).to_pandas().sort_values("doc_id")
+    names = [os.path.basename(p) for p in out["doc_id"]]
+    assert names == ["a.txt", "b.html"]
+    assert out["n_bytes"].tolist() == [20, 49]
+
+    # pipe straight into the extractor (ingestion -> extraction composes)
+    from docling_service_ray.stages.extract_stage import extract_batch
+    import pyarrow as pa
+
+    tbl = pa.table({"text": out["text"].tolist()})
+    r = extract_batch(tbl)
+    assert r.column("ok").to_pylist() == [True, True]
+    shutil.rmtree(d, ignore_errors=True)
