@@ -39,6 +39,37 @@ def hash64_array(texts) -> pa.Array:
     )
 
 
+def bucket_column(tbl: pa.Table, key: str, n_buckets: int,
+                  col_name: str = "bucket") -> pa.Table:
+    """Append a hash-bucket column for ``key`` (string or integer column).
+
+    String keys hash once per DISTINCT value per chunk (dictionary encode),
+    integer keys via a Fibonacci multiplicative hash — both deterministic
+    across processes. The standard first step of every explicit
+    hash-partitioned operation in this repo (stitch, bucketed join,
+    grouped top-k)."""
+    import zlib
+
+    col = tbl[key]
+    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
+    out = []
+    for chunk in chunks:
+        if pa.types.is_integer(chunk.type):
+            v = chunk.to_numpy(zero_copy_only=False).astype(np.uint64)
+            h = (v * np.uint64(0x9E3779B97F4A7C15)) >> np.uint64(33)
+            out.append(pa.array((h % np.uint64(n_buckets)).astype(np.int64)))
+        else:
+            d = chunk.dictionary_encode()
+            vals = d.dictionary.to_pylist()
+            bmap = np.array(
+                [zlib.crc32(str(v).encode()) % n_buckets for v in vals],
+                dtype=np.int64,
+            )
+            out.append(pa.array(bmap[d.indices.to_numpy(zero_copy_only=False)]))
+    arr = pa.chunked_array(out) if len(out) > 1 else out[0]
+    return tbl.append_column(col_name, arr)
+
+
 def stable_seed(*parts) -> np.random.Generator:
     """Deterministic numpy Generator from string parts (no wall clock)."""
     h = hashlib.blake2b(":".join(map(str, parts)).encode(), digest_size=8).digest()

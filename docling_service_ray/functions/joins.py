@@ -1,0 +1,188 @@
+"""Distributed join primitives the Dataset API doesn't ship (this Ray
+version): bucketed big-big hash join, broadcast semi/anti filters, grouped
+top-k, and per-key as-of matching.
+
+The reference has no relational joins (SURVEY.md §2.4); these are the
+engine-completeness operators a 100 TB training-data pipeline needs.
+Partitioning contract, stated per function: each relies on one explicit
+hash-bucket co-location step (``functions.hashing.bucket_column``) and
+keeps blocks Arrow end-to-end until the in-bucket pandas kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import bucket_column
+
+_SIDE_COL = "__join_side"
+_BUCKET_COL = "__join_bucket"
+
+
+def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
+                       how: str = "inner"):
+    """Big-big equi-join: both sides bucketed by hash(key) % n_buckets,
+    union'd, co-located with ONE groupby(bucket), joined per bucket with a
+    vectorized pandas merge.
+
+    Partitioning assumption: a single bucket's share of BOTH sides fits a
+    worker (size n_buckets accordingly; salt hot keys upstream if one key
+    dominates). Output columns = left's then right's minus the duplicated
+    key. Schemas are aligned by null-padding so the union is well-typed.
+    """
+    import ray.data as rd
+
+    lschema = left.schema()
+    rschema = right.schema()
+    lnames = list(lschema.names)
+    rnames = [n for n in rschema.names if n != key]
+    overlap = set(lnames) & set(rnames)
+    if overlap:
+        raise ValueError(f"column collision (rename first): {overlap}")
+    ltypes = dict(zip(lschema.names, lschema.types))
+    rtypes = dict(zip(rschema.names, rschema.types))
+    all_fields = [(n, ltypes[n]) for n in lnames] + [(n, rtypes[n]) for n in rnames]
+
+    def align(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            tbl = bucket_column(tbl, key, n_buckets, _BUCKET_COL)
+            n = tbl.num_rows
+            arrays, names = [], []
+            for name, typ in all_fields:
+                if name in tbl.column_names:
+                    arrays.append(tbl[name])
+                else:
+                    arrays.append(pa.nulls(n, typ))
+                names.append(name)
+            arrays.append(tbl[_BUCKET_COL])
+            names.append(_BUCKET_COL)
+            arrays.append(pa.array(np.full(n, side, dtype=np.int8)))
+            names.append(_SIDE_COL)
+            return pa.table(dict(zip(names, arrays)))
+
+        return fn
+
+    tagged = left.map_batches(align(0), batch_format="pyarrow").union(
+        right.map_batches(align(1), batch_format="pyarrow")
+    )
+
+    def join_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        l = df[df[_SIDE_COL] == 0][lnames + [key] if key not in lnames else lnames]
+        r = df[df[_SIDE_COL] == 1][[key] + rnames]
+        joined = l.merge(r, on=key, how=how)
+        return pa.Table.from_pandas(joined, preserve_index=False)
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow"
+    )
+
+
+def broadcast_anti_filter(ds, key: str, key_set, *, keep_matches: bool = False):
+    """Semi/anti join with a broadcast key set: ``ray.put`` the (small) set
+    once, filter each Arrow batch vectorized. keep_matches=True → semi
+    join; False → anti join. No shuffle.
+    (Anti-join shape of the reference's dedup existence probe J3,
+    app/main.py:721-729, done as a set-filter instead of per-row RPCs.)"""
+    import pyarrow.compute as pc
+    import ray
+
+    vals = pa.array(sorted(key_set))
+    ref = ray.put(vals)
+
+    def filt(tbl: pa.Table) -> pa.Table:
+        mask = pc.is_in(tbl[key], value_set=ray.get(ref))
+        if not keep_matches:
+            mask = pc.invert(mask)
+        return tbl.filter(mask)
+
+    return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def grouped_topk(ds, group_key: str, order_col: str, k: int, *,
+                 descending: bool = True, tiebreak_col: str | None = None,
+                 n_buckets: int = 64):
+    """Top-k rows per group.
+
+    Two-phase: (1) per-batch PARTIAL prune — each batch keeps at most k
+    rows per group it sees, shrinking the shuffle input; (2) one
+    groupby(bucket) over the survivors, vectorized
+    sort+groupby.head(k)+rank per bucket. Deterministic ties via
+    ``tiebreak_col`` ascending. Output = input columns + ``rank`` (1..k).
+    """
+    tb = tiebreak_col or group_key
+
+    def prune(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            [group_key, order_col, tb],
+            ascending=[True, not descending, True],
+            kind="mergesort",
+        )
+        return df.groupby(group_key, sort=False).head(k)
+
+    pruned = ds.map_batches(prune, batch_format="pandas")
+    bucketed = pruned.map_batches(
+        lambda t: bucket_column(t, group_key, n_buckets, _BUCKET_COL),
+        batch_format="pyarrow",
+    )
+
+    def finish(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns([_BUCKET_COL]).to_pandas()
+        df = df.sort_values(
+            [group_key, order_col, tb],
+            ascending=[True, not descending, True],
+            kind="mergesort",
+        )
+        top = df.groupby(group_key, sort=False).head(k).copy()
+        top["rank"] = top.groupby(group_key, sort=False).cumcount() + 1
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    return bucketed.groupby(_BUCKET_COL).map_groups(
+        finish, batch_format="pyarrow"
+    )
+
+
+def asof_join_per_key(left, right, key: str, ts_col: str, *,
+                      left_cols: list, right_cols: list,
+                      suffix: str = "_matched"):
+    """Per-key as-of match: for each left row, the right row with the
+    greatest ``ts_col`` <= left's, within the same ``key`` (inner: left
+    rows with no match are dropped). Implemented as ONE groupby(key) with a
+    ``pd.merge_asof`` per group — the partitioning assumption is that one
+    key's rows fit a worker (salt by time range upstream otherwise)."""
+    _SIDE = "__asof_side"
+
+    def tag(side):
+        def fn(tbl: pa.Table) -> pa.Table:
+            n = tbl.num_rows
+            return tbl.append_column(_SIDE, pa.array(np.full(n, side, np.int8)))
+
+        return fn
+
+    cols = sorted({key, ts_col, *left_cols, *right_cols})
+    both = left.select_columns([c for c in cols if c in left.schema().names])
+    rt = right.select_columns([c for c in cols if c in right.schema().names])
+    tagged = both.map_batches(tag(0), batch_format="pyarrow").union(
+        rt.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    lkeep = [c for c in left_cols if c not in (key, ts_col)]
+    rkeep = [c for c in right_cols if c != ts_col]
+    out_columns = [key, ts_col] + lkeep + [c + suffix for c in rkeep]
+
+    def match(group: pd.DataFrame) -> pd.DataFrame:
+        l = group[group[_SIDE] == 0].sort_values(ts_col, kind="mergesort")
+        r = group[group[_SIDE] == 1].sort_values(ts_col, kind="mergesort")
+        if len(l) == 0 or len(r) == 0:
+            return pd.DataFrame(columns=out_columns)
+        r2 = r[[ts_col] + rkeep].rename(columns={c: c + suffix for c in rkeep})
+        m = pd.merge_asof(
+            l[[key, ts_col] + lkeep], r2, on=ts_col, direction="backward"
+        )
+        if rkeep:  # inner semantics: drop left rows with no as-of match
+            m = m.dropna(subset=[rkeep[0] + suffix])
+        return m[out_columns]
+
+    return tagged.groupby(key).map_groups(match, batch_format="pandas")

@@ -327,6 +327,229 @@ def q1_pricing(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# big-big equi-join via explicit hash buckets (Q3-shaped): pre-aggregated
+# lineitem revenue joined to filtered orders, top-10 by revenue
+# ---------------------------------------------------------------------------
+Q3_DATE = "1996-06-30 00:00:00"
+
+
+@register(
+    "q3_revenue",
+    "SELECT o_orderkey, o_orderpriority, revenue_cents FROM ("
+    "SELECT l.l_orderkey AS o_orderkey, o.o_orderpriority, "
+    "SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) "
+    "AS revenue_cents "
+    f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    f"WHERE o.o_orderdate < TIMESTAMP '{Q3_DATE}' "
+    f"AND l.l_shipdate > TIMESTAMP '{Q3_DATE}' "
+    "GROUP BY l.l_orderkey, o.o_orderpriority) "
+    "ORDER BY revenue_cents DESC, o_orderkey LIMIT 10",
+)
+def q3_revenue(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import bucketed_hash_join
+
+    cutoff = pa.scalar(
+        np.datetime64(Q3_DATE.replace(" ", "T"), "us"), pa.timestamp("us")
+    )
+    # pre-aggregate the big side BEFORE the join (partial revenue per
+    # orderkey inside map_batches, then a small groupby) — §2.5 discipline
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def li_partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater(batch["l_shipdate"], cutoff))
+        rev = to_cents(
+            pc.multiply(batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"]))
+        )
+        keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"l_orderkey": keys, "revenue_cents": rev.to_numpy(zero_copy_only=False)})
+        agg = df.groupby("l_orderkey", sort=True)["revenue_cents"].sum().reset_index()
+        return pa.Table.from_pandas(agg, preserve_index=False)
+
+    li_rev = (
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("l_orderkey")
+        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
+        .map_batches(
+            lambda t: t.rename_columns(["o_orderkey", "revenue_cents"]),
+            batch_format="pyarrow",
+        )
+    )
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_orderkey", "o_orderdate", "o_orderpriority"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["o_orderdate"], cutoff)).drop_columns(
+            ["o_orderdate"]
+        ),
+        batch_format="pyarrow",
+    )
+
+    joined = bucketed_hash_join(li_rev, orders, "o_orderkey", n_buckets=32)
+    top = joined.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
+    return top.select_columns(["o_orderkey", "o_orderpriority", "revenue_cents"])
+
+
+# ---------------------------------------------------------------------------
+# broadcast anti-join (J3 existence-probe shape, done as a set filter)
+# ---------------------------------------------------------------------------
+BIG_ORDER_CENTS = 300_000 * 100
+
+
+@register(
+    "anti_join_customers",
+    "SELECT c_custkey, c_name FROM customer c WHERE NOT EXISTS ("
+    "SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey "
+    f"AND CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) > {BIG_ORDER_CENTS})",
+)
+def anti_join_customers(sf_dir: str):
+    from ..functions.joins import broadcast_anti_filter
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def big_keys(batch: pa.Table) -> pa.Table:
+        cents = to_cents(batch["o_totalprice"])
+        keep = pc.greater(cents, BIG_ORDER_CENTS)
+        return batch.filter(keep).select(["o_custkey"])
+
+    key_set = set(
+        orders.map_batches(big_keys, batch_format="pyarrow")
+        .to_pandas()["o_custkey"]
+        .tolist()
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return broadcast_anti_filter(cust, "c_custkey", key_set)
+
+
+# ---------------------------------------------------------------------------
+# grouped top-k (O3 "keep newest k" generalized to per-group)
+# ---------------------------------------------------------------------------
+@register(
+    "top3_orders_per_customer",
+    "SELECT o_custkey, o_orderkey, rank FROM ("
+    "SELECT o_custkey, o_orderkey, ROW_NUMBER() OVER ("
+    "PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rank "
+    "FROM orders) WHERE rank <= 3",
+)
+def top3_orders_per_customer(sf_dir: str):
+    from ..functions.joins import grouped_topk
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"]
+    )
+    top = grouped_topk(
+        orders, "o_custkey", "o_totalprice", 3,
+        descending=True, tiebreak_col="o_orderkey",
+    )
+    return top.select_columns(["o_custkey", "o_orderkey", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# distinct (set op)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_lang_source",
+    "SELECT DISTINCT lang, source FROM documents",
+)
+def distinct_lang_source(sf_dir: str):
+    from ray.data.aggregate import Count
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "source"])
+    return ds.groupby(["lang", "source"]).aggregate(Count(alias_name="_n")).select_columns(
+        ["lang", "source"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# as-of join (per-key backward time match)
+# ---------------------------------------------------------------------------
+@register(
+    "asof_clicks",
+    "SELECT e.user_id, e.event_id AS error_event_id, "
+    "c.event_id AS click_event_id "
+    "FROM (SELECT * FROM events WHERE event_type = 'error') e "
+    "ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+    "ON e.user_id = c.user_id AND c.ts <= e.ts",
+)
+def asof_clicks(sf_dir: str):
+    from ..functions.joins import asof_join_per_key
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts", "event_type"])
+    errors = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "error")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    clicks = ev.map_batches(
+        lambda t: t.filter(pc.equal(t["event_type"], "click")).drop_columns(["event_type"]),
+        batch_format="pyarrow",
+    )
+    matched = asof_join_per_key(
+        errors, clicks, "user_id", "ts",
+        left_cols=["event_id"], right_cols=["event_id"], suffix="_matched",
+    )
+
+    def project(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": df["user_id"].astype("int64"),
+                "error_event_id": df["event_id"].astype("int64"),
+                "click_event_id": df["event_id_matched"].astype("int64"),
+            }
+        )
+
+    return matched.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# session windows (gap-based sessionization per user)
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+@register(
+    "session_windows",
+    "SELECT user_id, session_idx, COUNT(*) AS n_events, "
+    "MIN(ts) AS session_start, MAX(ts) AS session_end FROM ("
+    "SELECT user_id, ts, SUM(new_s) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 "
+    "AS session_idx FROM ("
+    "SELECT user_id, ts, event_id, CASE WHEN "
+    "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
+    "OR epoch_us(ts) - epoch_us(lag(ts) OVER ("
+    f"PARTITION BY user_id ORDER BY ts, event_id)) > {SESSION_GAP_US} "
+    "THEN 1 ELSE 0 END AS new_s FROM events)) "
+    "GROUP BY user_id, session_idx",
+)
+def session_windows(sf_dir: str):
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"], kind="mergesort")
+        us = g["ts"].astype("int64")
+        new_s = (us.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US).astype(int)
+        g = g.assign(session_idx=new_s.cumsum() - 1)
+        out = (
+            g.groupby("session_idx", sort=True)
+            .agg(
+                n_events=("event_id", "size"),
+                session_start=("ts", "min"),
+                session_end=("ts", "max"),
+            )
+            .reset_index()
+        )
+        out.insert(0, "user_id", group["user_id"].iloc[0])
+        out["session_idx"] = out["session_idx"].astype("int64")
+        out["n_events"] = out["n_events"].astype("int64")
+        return out
+
+    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # streaming-analog: tumbling hourly windows per user (integer bucket math)
 # ---------------------------------------------------------------------------
 @register(
@@ -337,30 +560,25 @@ def q1_pricing(sf_dir: str):
     "FROM events GROUP BY user_id, hour_bucket",
 )
 def hourly_windows(sf_dir: str):
-    from ray.data.aggregate import Sum
+    from ..functions.agg import bucketed_group_agg
 
     ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
 
-    def partial(batch: pa.Table) -> pa.Table:
+    def prep(batch: pa.Table) -> pa.Table:
         us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
         hour = us // 3_600_000_000  # int64 floor division, exact (SQL `//`)
         micros = to_cents(batch["value"], scale=1_000_000)
-        df = pd.DataFrame(
+        return pa.table(
             {
-                "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
-                "hour_bucket": hour,
-                "micros": micros.to_numpy(zero_copy_only=False),
+                "user_id": batch["user_id"],
+                "hour_bucket": pa.array(hour),
+                "micros": micros,
             }
         )
-        agg = (
-            df.groupby(["user_id", "hour_bucket"], sort=True)
-            .agg(n_events=("micros", "size"), value_micros=("micros", "sum"))
-            .reset_index()
-        )
-        return pa.Table.from_pandas(agg, preserve_index=False)
 
-    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
-    return partials.groupby(["user_id", "hour_bucket"]).aggregate(
-        Sum("n_events", alias_name="n_events"),
-        Sum("value_micros", alias_name="value_micros"),
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_agg(
+        prepped,
+        ["user_id", "hour_bucket"],
+        {"n_events": ("micros", "size"), "value_micros": ("micros", "sum")},
     )

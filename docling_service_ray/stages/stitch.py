@@ -34,7 +34,6 @@ Two implementations, byte-identical output:
 from __future__ import annotations
 
 import json
-import zlib
 
 import numpy as np
 import pandas as pd
@@ -154,18 +153,9 @@ def _default_n_buckets() -> int:
 def add_bucket_column(tbl: pa.Table, n_buckets: int) -> pa.Table:
     """bucket = crc32(conv_id) % n_buckets, hashed once per DISTINCT
     conv_id per chunk via dictionary encoding (not per row)."""
-    col = tbl["conv_id"]
-    chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
-    out = []
-    for chunk in chunks:
-        d = chunk.dictionary_encode()
-        vals = d.dictionary.to_pylist()
-        bmap = np.array(
-            [zlib.crc32(v.encode()) % n_buckets for v in vals], dtype=np.int64
-        )
-        out.append(pa.array(bmap[d.indices.to_numpy(zero_copy_only=False)]))
-    arr = pa.chunked_array(out) if len(out) > 1 else out[0]
-    return tbl.append_column("bucket", arr)
+    from ..functions.hashing import bucket_column
+
+    return bucket_column(tbl, "conv_id", n_buckets)
 
 
 def stitch_conversations(extracted_ds, *, n_buckets: int | None = None):

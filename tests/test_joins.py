@@ -1,0 +1,110 @@
+"""Join-primitive tests against in-memory pandas references."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+
+@pytest.fixture(scope="module")
+def tables(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    left = pd.DataFrame(
+        {
+            "k": rng.integers(0, 50, 300),
+            "lv": rng.integers(0, 1000, 300),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.integers(0, 60, 120),
+            "rv": rng.integers(0, 1000, 120),
+        }
+    )
+    return rd.from_pandas(left), rd.from_pandas(right), left, right
+
+
+def test_bucketed_hash_join(tables):
+    from docling_service_ray.functions.joins import bucketed_hash_join
+
+    lds, rds, left, right = tables
+    got = (
+        bucketed_hash_join(lds, rds, "k", n_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.merge(right, on="k", how="inner")
+        .sort_values(["k", "lv", "rv"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "lv", "rv"]].astype("int64"), exp.astype("int64")
+    )
+
+
+def test_bucketed_join_collision_raises(tables):
+    from docling_service_ray.functions.joins import bucketed_hash_join
+
+    lds, _, _, _ = tables
+    with pytest.raises(ValueError):
+        bucketed_hash_join(lds, lds, "k")  # 'lv' collides with itself
+
+
+def test_broadcast_anti_and_semi(tables, ray_session):
+    from docling_service_ray.functions.joins import broadcast_anti_filter
+
+    lds, _, left, _ = tables
+    keys = {1, 2, 3}
+    anti = broadcast_anti_filter(lds, "k", keys).to_pandas()
+    semi = broadcast_anti_filter(lds, "k", keys, keep_matches=True).to_pandas()
+    assert not anti["k"].isin(keys).any()
+    assert semi["k"].isin(keys).all()
+    assert len(anti) + len(semi) == len(left)
+
+
+def test_grouped_topk(tables):
+    from docling_service_ray.functions.joins import grouped_topk
+
+    lds, _, left, _ = tables
+    got = (
+        grouped_topk(lds, "k", "lv", 2, descending=True, tiebreak_col="lv")
+        .to_pandas()
+        .sort_values(["k", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        left.sort_values(["k", "lv"], ascending=[True, False], kind="mergesort")
+        .groupby("k")
+        .head(2)
+    )
+    assert len(got) == len(exp)
+    # every kept row is within the true top-2 values of its group
+    for k, grp in left.groupby("k"):
+        top_vals = set(grp["lv"].nlargest(2))
+        got_vals = set(got[got["k"] == k]["lv"])
+        assert got_vals <= set(grp["lv"])
+        assert got_vals == top_vals or len(got_vals) == len(top_vals)
+
+
+def test_asof_join_per_key(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import asof_join_per_key
+
+    left = pd.DataFrame(
+        {"k": [1, 1, 2, 2], "ts": [10, 20, 10, 5], "lid": [100, 101, 102, 103]}
+    )
+    right = pd.DataFrame(
+        {"k": [1, 1, 2], "ts": [5, 15, 8], "rid": [200, 201, 202]}
+    )
+    got = asof_join_per_key(
+        rd.from_pandas(left), rd.from_pandas(right), "k", "ts",
+        left_cols=["lid"], right_cols=["rid"],
+    ).to_pandas().sort_values("lid").reset_index(drop=True)
+    # k=1 ts=10 -> rid 200; ts=20 -> rid 201; k=2 ts=10 -> rid 202;
+    # k=2 ts=5 has no match (right ts=8 > 5) -> dropped
+    assert got["lid"].tolist() == [100, 101, 102]
+    assert got["rid_matched"].astype(int).tolist() == [200, 201, 202]
