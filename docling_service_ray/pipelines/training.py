@@ -214,6 +214,82 @@ def ann_ivf_topk(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# sampling / shuffling (training-data splits; reference has none — §2.6)
+# ---------------------------------------------------------------------------
+@register(
+    "sample_10pct",
+    "SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0",
+)
+def sample_10pct(sf_dir: str):
+    """Deterministic systematic sample (hash/modulo, reproducible across
+    runs and cluster sizes — preferred over random_sample for lineage)."""
+    import pyarrow as pa
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+
+    def keep(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 10 == 0))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+@register(
+    "stratified_sample",
+    "SELECT lang, doc_id, rank FROM (SELECT lang, doc_id, ROW_NUMBER() OVER ("
+    "PARTITION BY lang ORDER BY doc_id) AS rank FROM documents) WHERE rank <= 5",
+)
+def stratified_sample(sf_dir: str):
+    """Per-stratum head: first 5 docs per language (grouped top-k with
+    ascending order)."""
+    from ..functions.joins import grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id"])
+    top = grouped_topk(ds, "lang", "doc_id", 5, descending=False,
+                       tiebreak_col="doc_id", n_buckets=8)
+    return top.select_columns(["lang", "doc_id", "rank"])
+
+
+@register(
+    "global_shuffle",
+    "SELECT doc_id, lang FROM documents",  # order-insensitive compare:
+)  # content must be invariant under the shuffle
+def global_shuffle(sf_dir: str):
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "lang"])
+    return ds.random_shuffle(seed=42)
+
+
+# ---------------------------------------------------------------------------
+# corpus token histogram (vocabulary pre-aggregation before the shuffle)
+# ---------------------------------------------------------------------------
+@register(
+    "token_histogram",
+    "SELECT word, cnt FROM (SELECT word, COUNT(*) AS cnt FROM ("
+    "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
+    "FROM documents WHERE trim(text) <> '') GROUP BY word) "
+    "ORDER BY cnt DESC, word LIMIT 100",
+)
+def token_histogram(sf_dir: str):
+    """Top-100 corpus vocabulary. Per-batch value_counts collapses tokens
+    to (word, partial count) BEFORE the shuffle — the vocabulary is far
+    smaller than the token stream, so the groupby moves kilobytes, not the
+    corpus (§2.5 pre-aggregation discipline)."""
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.strip()
+        s = s[s != ""]
+        vc = s.str.split(r"\s+").explode().value_counts()
+        return pd.DataFrame({"word": vc.index, "cnt": vc.to_numpy().astype("int64")})
+
+    partials = ds.map_batches(partial_counts, batch_format="pandas")
+    totals = partials.groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+    return totals.sort(["cnt", "word"], descending=[True, False]).limit(100)
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (codec stubbed; schema/actor plumbing real — rows-only)
 # ---------------------------------------------------------------------------
 @register("multimodal_meta")
