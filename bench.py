@@ -33,12 +33,16 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
 BENCH_QUERIES = [
     "q1_pricing",
+    "q3_revenue",
     "orders_by_nation",
     "hourly_windows",
+    "session_windows",
     "stitch_events",
+    "top3_orders_per_customer",
     "dedup_exact",
     "dedup_minhash",
     "token_counts",
+    "token_histogram",
     "fingerprints",
     "ann_topk",
     "dedup_embedding",

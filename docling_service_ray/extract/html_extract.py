@@ -208,7 +208,38 @@ def link_density(node) -> float:
 
 # --- main-content selection -------------------------------------------------
 
-def select_main_content(root: _Node) -> _Node:
+def measure_tree(root: _Node) -> dict:
+    """One post-order pass computing (text_len, link_text_len) per element
+    node — memoizes what _text_len/_link_text_len would recompute per
+    candidate during scoring (the former O(depth x nodes) hot spot)."""
+    sizes: dict[int, tuple] = {}
+
+    def walk(n) -> tuple:
+        if isinstance(n, _Text):
+            return (len(_WS_RE.sub(" ", n.data).strip()), 0)
+        if n.tag in STRIP_TAGS:
+            sizes[id(n)] = (0, 0)
+            return (0, 0)
+        tl = ll = 0
+        for c in n.children:
+            ctl, cll = walk(c)
+            tl += ctl
+            ll += cll
+        if n.tag == "a":
+            ll = tl
+        sizes[id(n)] = (tl, ll)
+        return (tl, ll)
+
+    walk(root)
+    return sizes
+
+
+def _density_from(sizes: dict, node) -> float:
+    tl, ll = sizes.get(id(node), (0, 0))
+    return (ll / tl) if tl else 0.0
+
+
+def select_main_content(root: _Node, sizes: dict | None = None) -> _Node:
     """Pick the main-content subtree.
 
     1. first <article> or <main> in document order, if any;
@@ -217,6 +248,8 @@ def select_main_content(root: _Node) -> _Node:
        order (first wins).
     3. else the root.
     """
+    if sizes is None:
+        sizes = measure_tree(root)
     order: list[_Node] = []
     stack = [root]
     while stack:
@@ -234,7 +267,8 @@ def select_main_content(root: _Node) -> _Node:
     for n in order:
         if n.tag not in ("body", "div", "section"):
             continue
-        score = _text_len(n) * (1.0 - link_density(n))
+        tl, ll = sizes.get(id(n), (0, 0))
+        score = tl * (1.0 - ((ll / tl) if tl else 0.0))
         if score > best_score:
             best, best_score = n, score
     return best if best is not None else root
@@ -358,10 +392,11 @@ class BlockCollector:
     in ``n_stripped``.
     """
 
-    def __init__(self):
+    def __init__(self, sizes: dict | None = None):
         self.blocks: list[str] = []       # markdown text per block
         self.spans: list[tuple] = []      # (start, end, kind) per block
         self.n_stripped = 0
+        self.sizes = sizes                # memoized (text_len, link_len)
 
     def _emit(self, text: str, node, kind: str):
         if not text:
@@ -394,7 +429,12 @@ class BlockCollector:
             return
         if tag == "p":
             txt = _inline_text(node)
-            if len(txt) < MIN_BLOCK_CHARS or link_density(node) > MAX_LINK_DENSITY:
+            density = (
+                _density_from(self.sizes, node)
+                if self.sizes is not None
+                else link_density(node)
+            )
+            if len(txt) < MIN_BLOCK_CHARS or density > MAX_LINK_DENSITY:
                 self.n_stripped += 1
                 return
             self._emit(txt, node, "para")
@@ -442,13 +482,14 @@ def extract_html(src: str, strict: bool):
     mode on malformed input.
     """
     root = parse_html(src, strict)
-    main = select_main_content(root)
-    col = BlockCollector()
+    sizes = measure_tree(root)
+    main = select_main_content(root, sizes)
+    col = BlockCollector(sizes)
     col.walk(main)
     if not col.blocks and main is not root:
         # fallback ladder step: main-content selection produced nothing ->
         # whole-DOM pass (analog of the whole-doc serialize fallback,
         # reference app/main.py:443-450)
-        col = BlockCollector()
+        col = BlockCollector(sizes)
         col.walk(root)
     return col.blocks, col.spans, col.n_stripped

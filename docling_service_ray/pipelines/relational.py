@@ -370,14 +370,16 @@ def q3_revenue(sf_dir: str):
         agg = df.groupby("l_orderkey", sort=True)["revenue_cents"].sum().reset_index()
         return pa.Table.from_pandas(agg, preserve_index=False)
 
-    li_rev = (
-        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536)
-        .groupby("l_orderkey")
-        .aggregate(Sum("revenue_cents", alias_name="revenue_cents"))
-        .map_batches(
-            lambda t: t.rename_columns(["o_orderkey", "revenue_cents"]),
-            batch_format="pyarrow",
-        )
+    from ..functions.agg import bucketed_group_agg
+
+    li_rev = bucketed_group_agg(
+        li.map_batches(li_partial, batch_format="pyarrow", batch_size=65536),
+        ["l_orderkey"],
+        {"revenue_cents": ("revenue_cents", "sum")},
+        n_buckets=32,
+    ).map_batches(
+        lambda t: t.rename_columns(["o_orderkey", "revenue_cents"]),
+        batch_format="pyarrow",
     )
 
     orders = read_table(
@@ -390,8 +392,26 @@ def q3_revenue(sf_dir: str):
     )
 
     joined = bucketed_hash_join(li_rev, orders, "o_orderkey", n_buckets=32)
-    top = joined.sort(["revenue_cents", "o_orderkey"], descending=[True, False]).limit(10)
-    return top.select_columns(["o_orderkey", "o_orderpriority", "revenue_cents"])
+
+    # global top-10 WITHOUT a global sort: each batch keeps its local
+    # top-10 (bounded: 10 x n_batches rows reach the driver), final pick
+    # in pandas. A full sort for a LIMIT k is an all-to-all the plan
+    # doesn't need.
+    def local_top(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(
+            ["revenue_cents", "o_orderkey"], ascending=[False, True],
+            kind="mergesort",
+        ).head(10)
+
+    cand = joined.map_batches(local_top, batch_format="pandas").to_pandas()
+    top = cand.sort_values(
+        ["revenue_cents", "o_orderkey"], ascending=[False, True],
+        kind="mergesort",
+    ).head(10)
+    return pa.Table.from_pandas(
+        top[["o_orderkey", "o_orderpriority", "revenue_cents"]],
+        preserve_index=False,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -173,10 +173,14 @@ def embedding_nn(sf_dir: str):
 
 @register("dedup_embedding_lsh")  # approximate scale path — rows-only
 def dedup_embedding_lsh(sf_dir: str):
-    from ..stages.dedup import embedding_neardup_lsh
+    """Sign-LSH bucket occupancy + in-bucket near-dup pair count per
+    bucket. (Bucket occupancy rather than bare pairs so the result is
+    non-empty and schema-stable even on corpora with no near-duplicates —
+    the random test embeddings have none.)"""
+    from ..stages.dedup import embedding_neardup_lsh_stats
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    return embedding_neardup_lsh(ds, threshold=0.95)
+    return embedding_neardup_lsh_stats(ds, threshold=0.95)
 
 
 # ---------------------------------------------------------------------------

@@ -488,3 +488,50 @@ def embedding_neardup_lsh(
         return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
 
     return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+
+
+def embedding_neardup_lsh_stats(
+    ds, *, id_col: str = "vec_id", threshold: float = 0.95,
+    planes: int = 16, dim: int = 64
+):
+    """Sign-LSH bucketing summary: (bucket, n_vecs, n_dup_pairs) per
+    occupied bucket. Same bucketing + in-bucket verify as
+    :func:`embedding_neardup_lsh`, but the output is schema-stable and
+    non-empty on duplicate-free corpora (the pair list alone collapses to a
+    schemaless empty Dataset, which downstream consumers can't type)."""
+
+    rng = stable_seed("signlsh", planes, dim)
+    hyper = rng.standard_normal((dim, planes))
+
+    def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
+        mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        signs = (mat @ hyper) > 0
+        keys = (signs * (1 << np.arange(planes))).sum(axis=1).astype("int64")
+        return pd.DataFrame(
+            {
+                id_col: batch[id_col].to_numpy(),
+                "bucket": keys,
+                "embedding": batch["embedding"],
+            }
+        )
+
+    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+
+    def summarize(group: pd.DataFrame) -> pd.DataFrame:
+        n = len(group)
+        pairs = 0
+        if n >= 2:
+            mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+            nm = np.linalg.norm(mat, axis=1)
+            nm[nm == 0] = 1.0
+            sims = (mat / nm[:, None]) @ (mat / nm[:, None]).T
+            pairs = int(np.triu(sims >= threshold, k=1).sum())
+        return pd.DataFrame(
+            {
+                "bucket": [int(group["bucket"].iloc[0])],
+                "n_vecs": [np.int64(n)],
+                "n_dup_pairs": [np.int64(pairs)],
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(summarize, batch_format="pandas")

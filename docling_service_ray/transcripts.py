@@ -286,7 +286,11 @@ def ensure_transcripts(sf_dir: str, out_root: str = "/tmp/graft_transcripts") ->
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
-    os.makedirs(out_dir, exist_ok=True)
+    # generate into a process-private staging dir, then atomically rename:
+    # concurrent generators (e.g. two test sessions) can never observe or
+    # corrupt a half-written corpus; the loser of the rename race discards
+    stage_dir = f"{out_dir}.stage-{os.getpid()}"
+    os.makedirs(stage_dir, exist_ok=True)
 
     n_shards = max(1, min(128, n_convs // 25))
     shard_of = lambda c: c % n_shards  # noqa: E731
@@ -307,7 +311,7 @@ def ensure_transcripts(sf_dir: str, out_root: str = "/tmp/graft_transcripts") ->
         def write_shard(shard: int) -> str:
             convs = [c for c in range(n_convs) if shard_of(c) == shard]
             tbl = conv_batch_table(convs)
-            path = os.path.join(out_dir, f"shard-{shard:04d}.parquet")
+            path = os.path.join(stage_dir, f"shard-{shard:04d}.parquet")
             pq.write_table(tbl, path)
             return path
 
@@ -316,12 +320,23 @@ def ensure_transcripts(sf_dir: str, out_root: str = "/tmp/graft_transcripts") ->
         for shard in range(n_shards):
             convs = [c for c in range(n_convs) if shard_of(c) == shard]
             tbl = conv_batch_table(convs)
-            pq.write_table(tbl, os.path.join(out_dir, f"shard-{shard:04d}.parquet"))
+            pq.write_table(tbl, os.path.join(stage_dir, f"shard-{shard:04d}.parquet"))
 
-    with open(done, "w") as f:
+    with open(os.path.join(stage_dir, "_DONE"), "w") as f:
         f.write("ok\n")
-    return out_dir
+    try:
+        os.rename(stage_dir, out_dir)
+    except OSError:
+        import shutil
 
+        if os.path.exists(done):
+            # another process won the race with identical deterministic content
+            shutil.rmtree(stage_dir, ignore_errors=True)
+        else:
+            # stale partial dir from an interrupted run — replace it
+            shutil.rmtree(out_dir, ignore_errors=True)
+            os.rename(stage_dir, out_dir)
+    return out_dir
 
 def oracle_frame(sf_dir: str):
     """Driver-side oracle: the full expected per-turn extraction, as a
