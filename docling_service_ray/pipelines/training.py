@@ -264,6 +264,52 @@ def global_shuffle(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# exact percentiles from a distributed value-count histogram
+# ---------------------------------------------------------------------------
+@register(
+    "chars_percentiles",
+    "WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY v), "
+    "s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, "
+    "(SELECT COUNT(*) FROM documents) AS n FROM h) "
+    "SELECT 25 AS pct, CAST(MIN(v) AS BIGINT) AS value FROM s WHERE cum >= CEIL(0.25 * n) "
+    "UNION ALL SELECT 50, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.50 * n) "
+    "UNION ALL SELECT 75, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.75 * n) "
+    "UNION ALL SELECT 90, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.90 * n)",
+)
+def chars_percentiles(sf_dir: str):
+    """Exact percentiles (pct p = smallest v with cumulative count >=
+    ceil(p*N)) computed scalably: the cluster reduces the corpus to a
+    VALUE-COUNT histogram (cardinality of the value domain, not the row
+    count); only the histogram reaches the driver. The same shape handles
+    any integer-valued metric at 100 TB."""
+    import math
+
+    from ..functions.agg import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    hist = bucketed_group_agg(
+        ds, ["n_chars"], {"c": ("n_chars", "size")}, n_buckets=16
+    ).to_pandas().sort_values("n_chars")
+    n = int(hist["c"].sum())
+    cum = hist["c"].cumsum()
+    out = []
+    for pct in (25, 50, 75, 90):
+        k = math.ceil(pct / 100 * n)
+        out.append(
+            {"pct": pct, "value": int(hist.loc[cum >= k, "n_chars"].iloc[0])}
+        )
+    import pyarrow as pa
+
+    return pa.Table.from_arrays(
+        [
+            pa.array([r["pct"] for r in out], pa.int64()),
+            pa.array([r["value"] for r in out], pa.int64()),
+        ],
+        names=["pct", "value"],
+    )
+
+
+# ---------------------------------------------------------------------------
 # corpus token histogram (vocabulary pre-aggregation before the shuffle)
 # ---------------------------------------------------------------------------
 @register(
