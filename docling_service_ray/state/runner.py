@@ -16,6 +16,7 @@ to one partition.
 from __future__ import annotations
 
 import os
+import shutil
 import time
 from datetime import datetime, timezone
 
@@ -37,6 +38,32 @@ def _dir_bytes(path: str) -> int:
         for n in names:
             total += os.path.getsize(os.path.join(root, n))
     return total
+
+
+def _partition_stats(part_dir: str, error_col: str | None) -> tuple[int, int]:
+    """(n_rows, n_errors) for a written partition, WITHOUT re-reading the
+    data: row counts come from parquet footer metadata (no data pages
+    touched); error counts read ONLY the boolean error column (one
+    column-pruned scan, ~1 bit/row) and reduce with pc.sum. The files are
+    the truth — counts survive task retries, unlike in-pipeline
+    accumulators which double-count re-executed batches."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    n_rows = 0
+    n_ok = 0
+    has_err_col = False
+    for root, _dirs, names in os.walk(part_dir):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            f = pq.ParquetFile(os.path.join(root, name))
+            n_rows += f.metadata.num_rows
+            if error_col and error_col in f.schema_arrow.names:
+                has_err_col = True
+                col = f.read(columns=[error_col])[error_col]
+                n_ok += int(pc.sum(pc.cast(col, "int64")).as_py() or 0)
+    return n_rows, (n_rows - n_ok) if has_err_col else 0
 
 
 def run_checkpointed(
@@ -74,23 +101,15 @@ def run_checkpointed(
             continue
         t0 = time.monotonic()
         part_dir = os.path.join(out_dir, pid)
+        # A crash during/after write_parquet but before manifest.write
+        # leaves partial parquet files; Ray's writer appends uniquely-named
+        # files alongside them on rerun, duplicating rows. The manifest only
+        # guards COMPLETED partitions, so any non-skipped partition's dir is
+        # stale by definition — clear it before rerunning.
+        shutil.rmtree(part_dir, ignore_errors=True)
         ds = pipeline_fn(rd.read_parquet(files))
-        # count rows/errors while writing: project the error column into a
-        # tiny driver-side aggregate AFTER the write (files are the truth)
         ds.write_parquet(part_dir)
-        written = rd.read_parquet(part_dir)
-        n_rows = written.count()
-        n_errors = 0
-        if error_col and error_col in [f for f in written.schema().names]:
-            n_errors = n_rows - int(
-                written.select_columns([error_col])
-                .map_batches(
-                    lambda t: {"s": [int(sum(t[error_col].to_pylist()))]},
-                    batch_format="pyarrow",
-                )
-                .to_pandas()["s"]
-                .sum()
-            )
+        n_rows, n_errors = _partition_stats(part_dir, error_col)
         rec = PartitionRecord(
             partition_id=pid,
             input_files=files,

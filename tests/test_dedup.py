@@ -44,12 +44,36 @@ def test_exact_dedup_actions(docs_ds):
 def test_minhash_lsh_finds_near_dup(docs_ds):
     from docling_service_ray.stages.dedup import minhash_lsh_pairs
 
-    ds, texts = docs_ds
-    pairs = minhash_lsh_pairs(ds, threshold=0.5, verify_texts=texts).to_pandas()
+    ds, _ = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
     found = set(zip(pairs["a"], pairs["b"]))
     assert (0, 1) in found  # exact dup
     assert (0, 2) in found  # near dup
     assert not any(3 in p or 4 in p for p in found)
+
+
+def test_minhash_reports_jaccard_pct(docs_ds):
+    from docling_service_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    j = pairs.set_index(["a", "b"])["jaccard_pct"]
+    assert j[(0, 1)] == 100  # exact dup verifies at 100%
+    assert 50 <= j[(0, 2)] < 100  # near dup verifies below
+
+
+def test_minhash_hot_bucket_cap(ray_session):
+    """Buckets above max_bucket are skipped (capped candidate explosion)."""
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import minhash_lsh_pairs
+
+    rows = [{"doc_id": i, "text": "identical text everywhere"} for i in range(30)]
+    ds = rd.from_items(rows)
+    capped = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=10).to_pandas()
+    assert len(capped) == 0  # every bucket oversized -> suppressed
+    uncapped = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=1000).to_pandas()
+    assert len(uncapped) == 30 * 29 // 2
 
 
 def test_simhash_pairs(docs_ds):
@@ -66,8 +90,8 @@ def test_simhash_pairs(docs_ds):
 def test_ngram_jaccard_pairs(docs_ds):
     from docling_service_ray.stages.dedup import ngram_jaccard_pairs
 
-    ds, texts = docs_ds
-    pairs = ngram_jaccard_pairs(ds, threshold=0.7, verify_texts=texts).to_pandas()
+    ds, _ = docs_ds
+    pairs = ngram_jaccard_pairs(ds, threshold=0.7).to_pandas()
     found = set(zip(pairs["a"], pairs["b"]))
     assert (0, 1) in found and (0, 2) in found
 

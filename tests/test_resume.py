@@ -88,6 +88,40 @@ def test_resume_after_partial_failure(ray_session, out_dir):
     assert total == clean
 
 
+def test_resume_after_crash_mid_write(ray_session, out_dir):
+    """A crash AFTER write_parquet but BEFORE the manifest write leaves
+    stale partial output; the rerun must clear it, not merge with it
+    (Ray's writer appends uniquely-named files, silently doubling rows)."""
+    import ray.data as rd
+
+    from docling_service_ray.state import Manifest, run_checkpointed
+
+    files = _input_files()
+    run_checkpointed(files, out_dir, _pipeline, n_partitions=2)
+    recs = {r.partition_id: r for r in Manifest(out_dir).records()}
+    clean_total = sum(r.n_rows for r in recs.values())
+
+    # simulate the crash window: partition output fully written (plus a
+    # stale partial file from the interrupted attempt), manifest missing
+    os.remove(os.path.join(out_dir, "_manifest", "part-00001.json"))
+    part_dir = os.path.join(out_dir, "part-00001")
+    existing = [f for f in os.listdir(part_dir) if f.endswith(".parquet")]
+    shutil.copy(
+        os.path.join(part_dir, existing[0]),
+        os.path.join(part_dir, "stale_partial_0000.parquet"),
+    )
+
+    done = run_checkpointed(files, out_dir, _pipeline, n_partitions=2)
+    assert done == ["part-00001"]
+    total = sum(
+        rd.read_parquet(os.path.join(out_dir, p)).count()
+        for p in ("part-00000", "part-00001")
+    )
+    assert total == clean_total  # no duplicated rows from stale files
+    recs2 = {r.partition_id: r for r in Manifest(out_dir).records()}
+    assert recs2["part-00001"].n_rows == recs["part-00001"].n_rows
+
+
 def test_eviction_policy(out_dir):
     from docling_service_ray.pipelines.maintenance import (
         apply_eviction,

@@ -34,23 +34,30 @@ def to_df(res) -> pd.DataFrame:
     return res.to_pandas()  # pyarrow.Table
 
 
+STRICT = False  # --strict: no dtype coercion — representation must match too
+
+
 def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        if str(df[c].dtype).startswith("datetime"):
-            df[c] = df[c].astype("datetime64[us]")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
-        elif str(df[c].dtype).startswith(("int", "uint")):
-            df[c] = df[c].astype("int64")
+    if not STRICT:
+        for c in df.columns:
+            if str(df[c].dtype).startswith("datetime"):
+                df[c] = df[c].astype("datetime64[us]")
+            elif df[c].dtype == object:
+                df[c] = df[c].astype(str)
+            elif str(df[c].dtype).startswith(("int", "uint")):
+                df[c] = df[c].astype("int64")
     return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
 def main():
     import ray
 
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    global STRICT
+    args = [a for a in sys.argv[1:] if a != "--strict"]
+    STRICT = "--strict" in sys.argv[1:]
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
     ray.init(address="local", num_cpus=8, include_dashboard=False,
              logging_level="ERROR", ignore_reinit_error=True)
     from ray.data import DataContext
@@ -97,7 +104,7 @@ def main():
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
             continue
         try:
-            pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+            pd.testing.assert_frame_equal(got, exp, check_dtype=STRICT)
             print(f"PASS {name}: rows={len(got)} [{dt:.1f}s]")
         except AssertionError as exc:
             failures.append(name)
