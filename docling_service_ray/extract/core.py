@@ -44,6 +44,11 @@ class ExtractResult:
     ok: bool = True
     error: str = ""
     extractor_path: str = "empty"
+    # typed metadata (M10/M4 analogs, reference app/main.py:770-853 and
+    # app/main.py:630-633): per-table dims+caption from the html path,
+    # per-fragment normalized round(.,4) positions from the layout path
+    tables: list = field(default_factory=list)
+    positions: list = field(default_factory=list)
 
 
 def detect_format(text: str) -> str:
@@ -90,18 +95,22 @@ def extract_turn(text) -> ExtractResult:
         return r
     try:
         fmt = detect_format(text)
-        if fmt in _EXTRACTORS:  # user-registered format
+        if fmt in _EXTRACTORS:  # user-registered format (3-tuple contract)
             blocks, spans, n_stripped = _EXTRACTORS[fmt](text)
             path = fmt
         elif fmt == "layout":
-            blocks, spans, n_stripped = extract_layout(text)
+            blocks, spans, n_stripped, r.positions = extract_layout(text)
             path = "layout"
         elif fmt == "html":
             try:
-                blocks, spans, n_stripped = extract_html(text, strict=True)
+                blocks, spans, n_stripped, r.tables = extract_html(
+                    text, strict=True
+                )
                 path = "html_strict"
             except StrictParseError:
-                blocks, spans, n_stripped = extract_html(text, strict=False)
+                blocks, spans, n_stripped, r.tables = extract_html(
+                    text, strict=False
+                )
                 path = "html_lenient"
         else:
             blocks, spans, n_stripped = normalize_plain(text)

@@ -341,9 +341,19 @@ def _render_list(node, ordered: bool, depth: int, lines: list[str]) -> None:
             _render_list(nl, nl.tag == "ol", depth + 1, lines)
 
 
-def _render_table(node) -> str:
+def _render_table(node):
+    """Returns (markdown, n_rows, n_cols, caption) — the metadata triple
+    is the M10 analog of the reference's per-table ``num_rows``/
+    ``num_cols``/caption extraction (``app/main.py:770-853``); n_rows
+    counts DATA rows (header excluded), caption comes from a <caption>
+    child (M11, ``app/main.py:829-831``)."""
     rows: list[list[str]] = []
     header: list[str] | None = None
+    caption = ""
+    for c in node.children:
+        if not isinstance(c, _Text) and c.tag == "caption":
+            caption = _inline_text(c)
+            break
 
     def collect_rows(n):
         for c in n.children:
@@ -370,18 +380,18 @@ def _render_table(node) -> str:
 
     if header is None:
         if not rows:
-            return ""
+            return "", 0, 0, caption
         header, rows = rows[0], rows[1:]
     ncols = max([len(header)] + [len(r) for r in rows]) if (header or rows) else 0
     if ncols == 0:
-        return ""
+        return "", 0, 0, caption
     header = header + [""] * (ncols - len(header))
     out = ["| " + " | ".join(header) + " |",
            "| " + " | ".join(["---"] * ncols) + " |"]
     for r in rows:
         r = r + [""] * (ncols - len(r))
         out.append("| " + " | ".join(r) + " |")
-    return "\n".join(out)
+    return "\n".join(out), len(rows), ncols, caption
 
 
 class BlockCollector:
@@ -397,6 +407,7 @@ class BlockCollector:
         self.spans: list[tuple] = []      # (start, end, kind) per block
         self.n_stripped = 0
         self.sizes = sizes                # memoized (text_len, link_len)
+        self.tables: list[dict] = []      # M10 metadata per emitted table
 
     def _emit(self, text: str, node, kind: str):
         if not text:
@@ -453,7 +464,19 @@ class BlockCollector:
             self._emit(f"```\n{raw}\n```", node, "code")
             return
         if tag == "table":
-            self._emit(_render_table(node), node, "table")
+            md, n_rows, n_cols, caption = _render_table(node)
+            if md:
+                # ids mirror the reference's `table-{counter}` scheme
+                # (app/main.py:785), counting emitted tables
+                self.tables.append(
+                    {
+                        "id": f"table-{len(self.tables) + 1}",
+                        "n_rows": n_rows,
+                        "n_cols": n_cols,
+                        "caption": caption,
+                    }
+                )
+            self._emit(md, node, "table")
             return
         if tag == "blockquote":
             inner = BlockCollector()
@@ -478,8 +501,8 @@ class BlockCollector:
 def extract_html(src: str, strict: bool):
     """Full HTML extraction.
 
-    Returns (blocks, spans, n_stripped). Raises StrictParseError in strict
-    mode on malformed input.
+    Returns (blocks, spans, n_stripped, tables). Raises StrictParseError
+    in strict mode on malformed input.
     """
     root = parse_html(src, strict)
     sizes = measure_tree(root)
@@ -492,4 +515,4 @@ def extract_html(src: str, strict: bool):
         # reference app/main.py:443-450)
         col = BlockCollector(sizes)
         col.walk(root)
-    return col.blocks, col.spans, col.n_stripped
+    return col.blocks, col.spans, col.n_stripped, col.tables

@@ -47,9 +47,13 @@ def is_layout(text: str) -> bool:
 def extract_layout(src: str):
     """Parse a %%LAYOUT%% document.
 
-    Returns (blocks, spans, n_stripped) where blocks is one markdown-ish
-    string per page (with the page marker) and spans carry per-page source
-    offsets of the first/last surviving fragment.
+    Returns (blocks, spans, n_stripped, positions): blocks is one
+    markdown-ish string per page (with the page marker); spans carry
+    per-page source offsets of the first/last surviving fragment;
+    positions is the M4 typed-metadata analog (reference
+    ``app/main.py:630-633``) — one record per SURVIVING fragment in
+    reading order, with coordinates normalized to the page dims and
+    ``round(., 4)`` exactly like the reference's ``x_norm``/``y_norm``.
     """
     assert src.startswith(LAYOUT_HEADER)
     # fragments: page -> list of (y, x, text, start, end)
@@ -89,6 +93,7 @@ def extract_layout(src: str):
 
     blocks: list[str] = []
     spans: list[tuple] = []
+    positions: list[dict] = []
     for page in sorted(pages.keys()):
         frags = pages[page]
         left = [f for f in frags if f[1] < COL_SPLIT]
@@ -102,4 +107,12 @@ def extract_layout(src: str):
         lines = [f[2] for f in ordered]
         blocks.append(f"<!-- Page {page} -->\n" + "\n".join(lines))
         spans.append((min(f[3] for f in ordered), max(f[4] for f in ordered), "page"))
-    return blocks, spans, n_stripped
+        for y, x, _txt, _s, _e in ordered:
+            positions.append(
+                {
+                    "page": page,
+                    "x_norm": round(x / PAGE_W, 4),
+                    "y_norm": round(y / PAGE_H, 4),
+                }
+            )
+    return blocks, spans, n_stripped, positions

@@ -34,17 +34,32 @@ def read_transcripts(sf_dir: str, columns=None):
 
 
 def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256,
-                     columns=None):
+                     columns=None, mode: str = "actors"):
     """Per-turn extraction Dataset: input columns + extracted_text, spans,
     stats, ok, error, extractor_path."""
     ds = read_transcripts(sf_dir, columns=columns)
-    return apply_extract(ds, concurrency=concurrency, batch_size=batch_size)
+    return apply_extract(
+        ds, concurrency=concurrency, batch_size=batch_size, mode=mode
+    )
 
 
-def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256):
-    """One stitched markdown document per conversation."""
+def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 1024):
+    """One stitched markdown document per conversation.
+
+    Extraction runs in TASK mode here: a fixed actor pool would hold its
+    CPU reservation through the downstream shuffle (starving it), and the
+    former workaround — materializing the whole extracted corpus before
+    the shuffle — is a spill storm at 100 TB. Tasks release slots per
+    batch, so extract and shuffle pipeline concurrently with no barrier.
+    """
     return stitch_conversations(
-        extract_pipeline(sf_dir, concurrency=concurrency, batch_size=batch_size)
+        extract_pipeline(
+            sf_dir,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            columns=["conv_id", "turn_idx", "role", "text"],
+            mode="tasks",
+        )
     )
 
 

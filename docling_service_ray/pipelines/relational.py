@@ -175,6 +175,56 @@ def dedup_actions(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# M9 analog: canonical content-addressed keys + ref rewriting
+# ---------------------------------------------------------------------------
+@register(
+    "canonical_refs",
+    "SELECT doc_id, 'blocks/' || md5(text) || '.md' AS stored_key, "
+    "CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS canonical_id, "
+    "CASE WHEN doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) "
+    "THEN 'kept' ELSE 'deduplicated' END AS action FROM documents",
+)
+def canonical_refs(sf_dir: str):
+    """Content-addressed key per document + first-wins canonical owner
+    (key scheme of reference app/main.py:717-718; dedup-upload accounting
+    of scripts/r2_migrate_xxhash.py:243-303)."""
+    from ..stages.refs import canonical_keys
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return canonical_keys(ds)
+
+
+@register(
+    "rewrite_refs",
+    "SELECT a.doc_id, 'see ' || 'blocks/' || md5(b.text) || '.md' AS rewritten "
+    "FROM documents a JOIN documents b "
+    "ON b.doc_id = (a.doc_id + 1) % (SELECT COUNT(*) FROM documents)",
+)
+def rewrite_refs_query(sf_dir: str):
+    """URI rewriting (M9, reference app/main.py:402-413): each document
+    carries a ``ref://<next_id>`` marker; the rewriter replaces it with
+    the REFERENCED document's canonical content-addressed stored key."""
+    from ..stages.refs import canonical_keys, rewrite_refs
+
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    n = docs.count()  # parquet metadata count — no scan
+
+    def with_ref(df: pd.DataFrame) -> pd.DataFrame:
+        ref_ids = (df["doc_id"].astype("int64") + 1) % n
+        return pd.DataFrame(
+            {
+                "doc_id": df["doc_id"].astype("int64"),
+                "text": "see ref://" + ref_ids.astype(str),
+            }
+        )
+
+    with_refs = docs.map_batches(with_ref, batch_format="pandas")
+    keys = canonical_keys(docs)
+    out = rewrite_refs(with_refs, keys, out_col="rewritten")
+    return out.select_columns(["doc_id", "rewritten"])
+
+
+# ---------------------------------------------------------------------------
 # M15 analog: key-format predicate (vectorized regex filter)
 # ---------------------------------------------------------------------------
 @register(

@@ -144,13 +144,16 @@ def dedup_embedding(sf_dir: str):
 )
 def embedding_nn(sf_dir: str):
     """Exact 1-NN per vector (all-pairs, batched matmul against the
-    broadcast matrix)."""
+    broadcast matrix). Guarded like the exact dedup ops: past
+    MAX_EXACT_EMBED_ROWS this raises and points at ann_ivf_topk."""
     import ray
 
+    from ..stages.dedup import _guard_exact_embed
     from ..stages.similarity import _normalize
 
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ref_tbl = ds.to_pandas()
+    _guard_exact_embed(len(ref_tbl), "embedding_nn", "ivf_topk")
     ids = ref_tbl["vec_id"].to_numpy()
     mat = _normalize(np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64))
     ref = ray.put((ids, mat))
@@ -393,6 +396,38 @@ def extract_turns(sf_dir: str):  # enforced byte-for-byte in tests/)
     return ds.select_columns(
         ["conv_id", "turn_idx", "ok", "extractor_path"]
     )
+
+
+@register("extract_meta")  # rows-only (metadata of the custom extractor;
+def extract_meta(sf_dir: str):  # golden-tested byte-exact in tests/)
+    """Typed M4/M10 metadata columns from the extraction stage: per-table
+    dims (tables: list<struct>) and normalized round(.,4) positions
+    (positions: list<struct>), projected to scalar summaries."""
+    from .extract_pipeline import extract_pipeline
+
+    ds = extract_pipeline(sf_dir)
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        tables = batch["tables"]
+        positions = batch["positions"]
+        first_rows = [
+            (int(t[0]["n_rows"]) if len(t) else -1) for t in tables
+        ]
+        first_cols = [
+            (int(t[0]["n_cols"]) if len(t) else -1) for t in tables
+        ]
+        return pd.DataFrame(
+            {
+                "conv_id": batch["conv_id"],
+                "turn_idx": batch["turn_idx"].astype("int64"),
+                "n_tables": [len(t) for t in tables],
+                "first_table_rows": first_rows,
+                "first_table_cols": first_cols,
+                "n_positions": [len(p) for p in positions],
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pandas")
 
 
 @register("stitch_convs")  # rows-only

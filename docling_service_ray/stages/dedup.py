@@ -546,18 +546,37 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+MAX_EXACT_EMBED_ROWS = 500_000  # ~128 MB of f64x64 — broadcast-matrix cap
+
+
+def _guard_exact_embed(n: int, fn_name: str, scale_fn: str) -> None:
+    """The exact embedding ops are deliberate all-pairs ORACLE baselines;
+    they materialize the full matrix on the driver and broadcast it. This
+    guard makes the documented limit enforceable instead of aspirational:
+    past the cap they fail LOUDLY and name the scale path."""
+    if n > MAX_EXACT_EMBED_ROWS:
+        raise ValueError(
+            f"{fn_name} is the exact all-pairs oracle path and materializes "
+            f"the full embedding matrix ({n} rows > cap "
+            f"{MAX_EXACT_EMBED_ROWS}); use {scale_fn} (LSH/IVF scale path) "
+            f"for corpora this large"
+        )
+
+
 def embedding_neardup_pairs(ds, *, id_col: str = "vec_id", threshold: float = 0.95):
     """Exact all-pairs cosine near-dup (oracle-checkable).
 
     The full (small-side) matrix is broadcast ONCE via ray.put and each
     batch does one float64 matmul against it — O(N x batch) FLOPs,
-    vectorized. For corpora where the matrix no longer fits a worker, use
-    :func:`embedding_neardup_lsh` (the scale path).
+    vectorized. Guarded: above MAX_EXACT_EMBED_ROWS it raises and points
+    at :func:`embedding_neardup_lsh` (the scale path).
     Returns (a, b) pairs with a < b and cosine >= threshold.
     """
     import ray
 
     ref_tbl = ds.select_columns([id_col, "embedding"]).to_pandas()
+    _guard_exact_embed(len(ref_tbl), "embedding_neardup_pairs",
+                       "embedding_neardup_lsh")
     ids = ref_tbl[id_col].to_numpy()
     mat = np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)
@@ -591,6 +610,8 @@ def embedding_dup_counts(ds, *, id_col: str = "vec_id", threshold: float = 0.95)
     import ray
 
     ref_tbl = ds.select_columns([id_col, "embedding"]).to_pandas()
+    _guard_exact_embed(len(ref_tbl), "embedding_dup_counts",
+                       "embedding_neardup_lsh_stats")
     ids = ref_tbl[id_col].to_numpy()
     mat = np.stack(ref_tbl["embedding"].to_numpy()).astype(np.float64)
     norms = np.linalg.norm(mat, axis=1)

@@ -30,12 +30,35 @@ STATS_TYPE = pa.struct(
         ("n_chars_out", pa.int64()),
     ]
 )
+# M10 analog (reference app/main.py:770-853): per-table dims + caption
+TABLES_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("id", pa.string()),
+            ("n_rows", pa.int32()),
+            ("n_cols", pa.int32()),
+            ("caption", pa.string()),
+        ]
+    )
+)
+# M4 analog (reference app/main.py:630-633): normalized round(.,4) positions
+POSITIONS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("page", pa.int32()),
+            ("x_norm", pa.float64()),
+            ("y_norm", pa.float64()),
+        ]
+    )
+)
 
 # columns the stage appends to the input batch
 OUTPUT_FIELDS = [
     ("extracted_text", pa.large_string()),
     ("spans", SPAN_TYPE),
     ("stats", STATS_TYPE),
+    ("tables", TABLES_TYPE),
+    ("positions", POSITIONS_TYPE),
     ("ok", pa.bool_()),
     ("error", pa.string()),
     ("extractor_path", pa.string()),
@@ -53,6 +76,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     out_text: list[str] = []
     spans: list[list] = []
     stats: list[dict] = []
+    tables: list[list] = []
+    positions: list[list] = []
     oks: list[bool] = []
     errors: list[str] = []
     paths: list[str] = []
@@ -70,6 +95,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
                 "n_chars_out": r.n_chars_out,
             }
         )
+        tables.append(r.tables)
+        positions.append(r.positions)
         oks.append(r.ok)
         errors.append(r.error)
         paths.append(r.extractor_path)
@@ -78,6 +105,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
         pa.array(out_text, pa.large_string()),
         pa.array(spans, SPAN_TYPE),
         pa.array(stats, STATS_TYPE),
+        pa.array(tables, TABLES_TYPE),
+        pa.array(positions, POSITIONS_TYPE),
         pa.array(oks, pa.bool_()),
         pa.array(errors, pa.string()),
         pa.array(paths, pa.string()),
@@ -101,32 +130,71 @@ class ExtractTurns:
         return extract_batch(batch)
 
 
-def apply_extract(ds, *, concurrency=None, batch_size: int = 256, num_cpus: float = 1):
-    """Attach the extraction stage to a Dataset.
+def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
+                         num_cpus: float = 1, num_gpus: float | None = None,
+                         resources: dict | None = None,
+                         mode: str = "actors") -> dict:
+    """map_batches kwargs for the extraction stage (exposed for unit tests
+    and for cluster placement without running the stage).
 
-    ``concurrency=None`` sizes a FIXED actor pool to the cluster:
-    total_cpus - 2 (two slots left for the read/write task ops so the
-    pipeline never serializes behind the pool). Fixed beats autoscaling
-    here: extraction dominates every run that matters, and a fixed pool
-    spawns all actors immediately instead of paying a ramp-up on each run.
-    ``batch_size`` is deliberately small because turn texts average a few
-    KiB but include ~1 MB outliers (SURVEY.md §7.4 "very wide rows").
+    Device/resource plumbing (ST2 analog, reference app/main.py:161-180):
+    ``num_gpus``/``resources`` flow through to the actor pool so a GPU
+    extractor schedules onto GPU nodes; the sandbox has no GPU to
+    exercise, but the stage is cluster-placeable.
+
+    ``mode="actors"`` (default): stateful fixed actor pool — fastest for
+    extraction-dominated pipelines (warm state, no task setup). But a
+    fixed pool HOLDS its CPU reservation even when idle, which starves any
+    downstream all-to-all (shuffle ran at parallelism ~1.2 behind a full
+    pool). ``mode="tasks"`` runs the same kernel as a task pool: slots are
+    released as batches finish, so a downstream shuffle streams at full
+    width with no materialize barrier — use for pipelines that continue
+    into a groupby/sort.
     """
-    if concurrency is None:
-        try:
-            import ray
-
-            total = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
-        except Exception:  # pragma: no cover
-            total = 8
-        # ~80% of slots extract; the rest keep the read/write task ops fed
-        # (extract:read CPU ratio measured ~4.7:1 on the synthetic corpus)
-        concurrency = max(2, int(total * 0.8))
-    return ds.map_batches(
-        ExtractTurns,
+    kwargs: dict = dict(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency,
         num_cpus=num_cpus,
     )
+    if mode == "tasks":
+        kwargs["fn"] = extract_batch
+    else:
+        kwargs["fn"] = ExtractTurns
+        if concurrency is None:
+            try:
+                import ray
+
+                total = (
+                    int(ray.cluster_resources().get("CPU", 8))
+                    if ray.is_initialized()
+                    else 8
+                )
+            except Exception:  # pragma: no cover
+                total = 8
+            # ~80% of slots extract; the rest keep the read/write task ops
+            # fed (extract:read CPU ratio measured ~4.7:1 on the corpus)
+            concurrency = max(2, int(total * 0.8))
+        kwargs["concurrency"] = concurrency
+    if num_gpus is not None:
+        kwargs["num_gpus"] = num_gpus
+    if resources is not None:
+        kwargs["resources"] = resources
+    return kwargs
+
+
+def apply_extract(ds, *, concurrency=None, batch_size: int = 256,
+                  num_cpus: float = 1, num_gpus: float | None = None,
+                  resources: dict | None = None, mode: str = "actors"):
+    """Attach the extraction stage to a Dataset (see build_extract_kwargs
+    for the mode/resource semantics).
+
+    ``batch_size`` is deliberately small because turn texts average a few
+    KiB but include ~1 MB outliers (SURVEY.md §7.4 "very wide rows").
+    """
+    kwargs = build_extract_kwargs(
+        concurrency=concurrency, batch_size=batch_size, num_cpus=num_cpus,
+        num_gpus=num_gpus, resources=resources, mode=mode,
+    )
+    fn = kwargs.pop("fn")
+    return ds.map_batches(fn, **kwargs)

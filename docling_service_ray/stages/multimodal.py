@@ -122,9 +122,12 @@ class ResizeFilter:
         self.min_area_frac = min_area_frac
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # zero-copy struct-field projection (no Python dict conversion)
         meta = batch["image_meta"]
-        w = np.array([m["width"] for m in meta.to_pylist()])
-        h = np.array([m["height"] for m in meta.to_pylist()])
+        w = pc.struct_field(meta, "width").to_numpy(zero_copy_only=False)
+        h = pc.struct_field(meta, "height").to_numpy(zero_copy_only=False)
         area_frac = (w * h) / (self.PAGE_W * self.PAGE_H)
         keep = (w >= self.min_px) & (h >= self.min_px) & (
             area_frac >= self.min_area_frac

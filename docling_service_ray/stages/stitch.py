@@ -166,13 +166,13 @@ def stitch_conversations(extracted_ds, *, n_buckets: int | None = None):
     narrow = extracted_ds.select_columns(
         ["conv_id", "turn_idx", "role", "extracted_text", "ok"]
     )
-    # Materialize before the shuffle barrier: the upstream extraction actor
-    # pool otherwise keeps its CPU reservation while idle and the shuffle
-    # runs on leftover slots (measured: shuffle at parallelism ~1.2 without
-    # this). The shuffle is a barrier anyway; the intermediate is the
-    # narrow projection and spills via the object store if needed.
-    narrow = narrow.materialize()
-
+    # NO materialize barrier: at corpus scale a full materialization of the
+    # narrow projection (which includes extracted_text — essentially the
+    # whole corpus) pins ~the dataset in the object store. The upstream
+    # extraction stage must not hold idle CPU reservations through the
+    # shuffle — stitch_pipeline runs extraction in task mode
+    # (extract_stage.build_extract_kwargs) so slots release per batch and
+    # the shuffle streams at full width.
     bucketed = narrow.map_batches(
         lambda t: add_bucket_column(t, n_buckets),
         batch_format="pyarrow",

@@ -153,3 +153,43 @@ def test_determinism():
             a, b = extract_turn(t), extract_turn(t)
             assert a.extracted_text == b.extracted_text
             assert a.spans == b.spans
+
+
+def test_table_metadata_columns():
+    # M10 analog: per-table num_rows/num_cols/caption as typed metadata
+    # (reference app/main.py:770-853, ids app/main.py:785)
+    src = (
+        "<html><body><table><caption>stats table</caption>"
+        "<tr><th>name</th><th>count</th><th>pct</th></tr>"
+        "<tr><td>alpha</td><td>3</td><td>30</td></tr>"
+        "<tr><td>beta</td><td>7</td><td>70</td></tr></table>"
+        "<p>some separating paragraph</p>"
+        "<table><tr><td>one1</td><td>two2</td></tr></table></body></html>"
+    )
+    r = extract_turn(src)
+    assert r.ok
+    assert r.tables == [
+        {"id": "table-1", "n_rows": 2, "n_cols": 3, "caption": "stats table"},
+        {"id": "table-2", "n_rows": 0, "n_cols": 2, "caption": ""},
+    ]
+    assert r.positions == []
+
+
+def test_layout_normalized_positions():
+    # M4 analog: 0-1 normalized positions, round(.,4) exactly
+    # (reference app/main.py:630-633), surviving fragments only
+    src = (
+        "%%LAYOUT%%\n"
+        "1|72.0|100.0|first fragment line\n"
+        "1|100.5|50.25|second fragment here\n"
+        "1|50.0|10.0|header zone dropped\n"
+        "2|200.0|400.0|next page fragment\n"
+    )
+    r = extract_turn(src)
+    assert r.ok and r.extractor_path == "layout"
+    assert r.positions == [
+        {"page": 1, "x_norm": round(100.5 / 612.0, 4), "y_norm": round(50.25 / 792.0, 4)},
+        {"page": 1, "x_norm": round(72.0 / 612.0, 4), "y_norm": round(100.0 / 792.0, 4)},
+        {"page": 2, "x_norm": round(200.0 / 612.0, 4), "y_norm": round(400.0 / 792.0, 4)},
+    ]
+    assert r.tables == []

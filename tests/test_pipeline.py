@@ -90,6 +90,48 @@ def test_stitch_variants_identical(ray_session):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_extract_mode_equivalence(ray_session):
+    """Task-mode extraction (used by the stitch path so the shuffle
+    streams) must equal actor-mode output exactly."""
+    from docling_service_ray.pipelines.extract_pipeline import extract_pipeline
+
+    cols = ["conv_id", "turn_idx", "extracted_text", "ok"]
+    a = (
+        extract_pipeline(SF, mode="actors", concurrency=2)
+        .select_columns(cols).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    b = (
+        extract_pipeline(SF, mode="tasks")
+        .select_columns(cols).to_pandas()
+        .sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_extract_resource_plumbing():
+    """ST2 analog (reference app/main.py:161-180): GPU/resource overrides
+    must flow into the constructed map_batches kwargs so the stage is
+    cluster-placeable (sandbox has no GPU to exercise)."""
+    from docling_service_ray.stages.extract_stage import (
+        ExtractTurns,
+        build_extract_kwargs,
+        extract_batch,
+    )
+
+    kw = build_extract_kwargs(num_gpus=0.5, resources={"extractor_node": 1},
+                              concurrency=4)
+    assert kw["fn"] is ExtractTurns
+    assert kw["num_gpus"] == 0.5
+    assert kw["resources"] == {"extractor_node": 1}
+    assert kw["concurrency"] == 4
+    assert kw["batch_format"] == "pyarrow" and kw["zero_copy_batch"]
+
+    kw_t = build_extract_kwargs(mode="tasks")
+    assert kw_t["fn"] is extract_batch
+    assert "concurrency" not in kw_t  # task pool: no actor reservation
+
+
 def test_parallelism_invariance(ray_session):
     """Same result at different batch sizes / concurrency (determinism
     across execution plans — the single-node stand-in for cluster-size
