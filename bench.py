@@ -41,6 +41,10 @@ BENCH_QUERIES = [
     "top3_orders_per_customer",
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_jaccard",
+    "canonical_refs",
+    "rewrite_refs",
+    "asof_clicks",
     "token_counts",
     "token_histogram",
     "fingerprints",

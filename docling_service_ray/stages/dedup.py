@@ -32,6 +32,18 @@ from ..functions.hashing import hash64, stable_seed
 
 logger = logging.getLogger(__name__)
 
+_MINHASHERS: dict = {}
+
+
+def _get_minhasher(num_perm: int, shingle_n: int):
+    """Per-worker-process MinHasher memo (task-pool analog of actor
+    ``__init__`` state, ST1 pattern)."""
+    key = (num_perm, shingle_n)
+    mh = _MINHASHERS.get(key)
+    if mh is None:
+        mh = _MINHASHERS[key] = MinHasher(num_perm=num_perm, shingle_n=shingle_n)
+    return mh
+
 # ---------------------------------------------------------------------------
 # exact dedup (D1/D2 analog, reference app/main.py:716-729 +
 # scripts/r2_migrate_xxhash.py:256-308)
@@ -58,25 +70,41 @@ def exact_dedup_keep_min(ds, id_col: str = "doc_id", text_col: str = "text"):
     return out.select_columns([id_col])
 
 
-def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text"):
+def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text",
+                        *, n_buckets: int = 64):
     """Per-row action column ('kept' | 'deduplicated'), mirroring the
     migration script's action accounting (scripts/r2_migrate_xxhash.py:243,
-    265,303)."""
+    265,303). One coarse hash-bucket groupby co-locates all rows of each
+    content hash; canonical ids resolve with a single vectorized
+    groupby-transform per bucket (a per-hash map_groups would pay one Ray
+    dispatch per distinct content — O(corpus) dispatches)."""
+    from ..functions.hashing import bucket_column
+
     hashed = ds.map_batches(
         lambda b: add_md5_column(b, text_col)[[id_col, "content_hash"]],
         batch_format="pandas",
     )
+    bucketed = hashed.map_batches(
+        lambda t: bucket_column(t, "content_hash", n_buckets, "__db"),
+        batch_format="pyarrow",
+    )
 
-    def mark(group: pd.DataFrame) -> pd.DataFrame:
-        keep = group[id_col].min()
-        return pd.DataFrame(
+    def mark_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__db"]).to_pandas()
+        keep = df.groupby("content_hash")[id_col].transform("min")
+        return pa.table(
             {
-                id_col: group[id_col],
-                "action": np.where(group[id_col] == keep, "kept", "deduplicated"),
+                id_col: pa.array(df[id_col].to_numpy().astype(np.int64)),
+                "action": pa.array(
+                    np.where(df[id_col] == keep, "kept", "deduplicated"),
+                    pa.string(),
+                ),
             }
         )
 
-    return hashed.groupby("content_hash").map_groups(mark, batch_format="pandas")
+    return bucketed.groupby("__db").map_groups(
+        mark_bucket, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -84,13 +112,54 @@ def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text"):
 # ---------------------------------------------------------------------------
 
 _MERSENNE = (1 << 61) - 1
+_COMBINE = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+
+# token -> 61-bit hash memo. Natural-language token frequency is Zipfian,
+# so a worker-process-level cache turns per-shingle cryptographic hashing
+# into a dict lookup for almost every token. Plain Python ints (np scalar
+# boxing is slower); bounded so adversarial vocab can't grow it unbounded.
+_TOKEN_CACHE: dict = {}
+_TOKEN_CACHE_MAX = 1 << 20
+
+
+def _token_hashes(tokens: list) -> np.ndarray:
+    out = np.empty(len(tokens), dtype=np.uint64)
+    cache = _TOKEN_CACHE
+    for i, t in enumerate(tokens):
+        h = cache.get(t)
+        if h is None:
+            h = hash64(t) & 0x7FFFFFFFFFFFFFFF
+            if len(cache) < _TOKEN_CACHE_MAX:
+                cache[t] = h
+        out[i] = h
+    return out
+
+
+def _window_combine(h: np.ndarray, n: int) -> np.ndarray:
+    """Rolling n-window polynomial combine over a uint64 hash sequence —
+    one vectorized pass per window offset (n is small), wraparound uint64
+    arithmetic, masked to 61 bits for the universal-hash modulus."""
+    if len(h) == 0:
+        return h
+    if len(h) < n:
+        acc = np.zeros(1, dtype=np.uint64)
+        for v in h:
+            acc = acc * _COMBINE + v
+        return acc & np.uint64(_MERSENNE)
+    m = len(h) - n + 1
+    acc = np.zeros(m, dtype=np.uint64)
+    for k in range(n):
+        acc = acc * _COMBINE + h[k : k + m]
+    return acc & np.uint64(_MERSENNE)
 
 
 class MinHasher:
     """Vectorized minhash signatures over word n-gram shingles.
 
-    Actor-pool stage: permutation coefficients are drawn once per actor
-    from a fixed seed in ``__init__``.
+    All kernels are numpy: cached token hashes -> rolling-window shingle
+    hashes -> (num_perm x shingles) universal hashing -> per-row min ->
+    vectorized per-band hashes. Coefficients come from a fixed seed, so
+    signatures are deterministic across processes and cluster sizes.
     """
 
     def __init__(self, num_perm: int = 128, shingle_n: int = 3, seed: int = 42):
@@ -102,19 +171,9 @@ class MinHasher:
 
     def shingles(self, text: str) -> np.ndarray:
         toks = text.split()
-        n = self.shingle_n
-        if len(toks) < n:
-            items = [" ".join(toks)] if toks else []
-        else:
-            items = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
-        uniq = set(items)
-        if not uniq:
+        if not toks:
             return np.zeros(0, dtype=np.uint64)
-        return np.fromiter(
-            (hash64(s) & 0x7FFFFFFFFFFFFFFF for s in uniq),
-            dtype=np.uint64,
-            count=len(uniq),
-        )
+        return np.unique(_window_combine(_token_hashes(toks), self.shingle_n))
 
     def signature(self, text: str) -> np.ndarray:
         sh = self.shingles(text)
@@ -123,6 +182,15 @@ class MinHasher:
         # (num_perm, n_shingles) universal hashing, min per row
         v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
         return v.min(axis=1)
+
+    def band_hashes(self, sig: np.ndarray, bands: int) -> np.ndarray:
+        """One uint64 hash per band (vectorized across bands)."""
+        r = len(sig) // bands
+        m = sig[: bands * r].reshape(bands, r)
+        acc = np.zeros(bands, dtype=np.uint64)
+        for k in range(r):
+            acc = acc * _COMBINE + m[:, k]
+        return acc
 
 
 def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
@@ -140,29 +208,64 @@ def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def _bucket_pairs_fn(id_col: str, max_bucket: int):
-    """Per-LSH-bucket candidate emission with a hot-bucket cap: a bucket of
-    n ids yields C(n,2) pairs, so one degenerate bucket (e.g. thousands of
-    near-empty texts sharing a band hash) would emit O(n^2) rows in one
-    task. Buckets above ``max_bucket`` are SKIPPED AND LOGGED — no silent
-    caps (the log line carries the bucket size so recall loss is visible).
+def candidate_pairs(banded, *, id_col: str, max_bucket: int,
+                    n_buckets: int = 64):
+    """(band, band_hash, id) rows -> candidate (a, b) pairs.
+
+    A naive ``groupby([band, band_hash]).map_groups`` pays one Ray
+    dispatch per LSH bucket — O(corpus x bands) groups, nearly all
+    singletons (measured: the dominant cost of the whole near-dup run).
+    Instead ONE groupby on a coarse hash bucket of ``band_hash``
+    co-locates every LSH bucket; inside each task a vectorized
+    ``duplicated()`` prefilter drops all singleton buckets before the
+    (rare) colliding groups are expanded with ``np.triu_indices``.
+
+    Hot-bucket cap: a bucket of n ids yields C(n,2) pairs, so one
+    degenerate bucket (e.g. thousands of near-empty texts sharing a band
+    hash) would emit O(n^2) rows in one task. Buckets above
+    ``max_bucket`` are SKIPPED AND LOGGED — no silent caps (the log line
+    carries the bucket size so recall loss is visible).
     """
+    from ..functions.hashing import bucket_column
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = sorted(set(group[id_col]))
-        if len(ids) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        if len(ids) > max_bucket:
-            logger.warning(
-                "near-dup LSH bucket skipped: %d ids > max_bucket=%d "
-                "(C(n,2)=%d candidate pairs suppressed)",
-                len(ids), max_bucket, len(ids) * (len(ids) - 1) // 2,
+    bucketed = banded.map_batches(
+        lambda t: bucket_column(t, "band_hash", n_buckets, "__cb"),
+        batch_format="pyarrow",
+    )
+
+    def pairs_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__cb"]).to_pandas()
+        df = df[df.duplicated(["band", "band_hash"], keep=False)]
+        out_a, out_b = [], []
+        for _, g in df.groupby(["band", "band_hash"], sort=False):
+            ids = np.unique(g[id_col].to_numpy())
+            if len(ids) < 2:
+                continue
+            if len(ids) > max_bucket:
+                logger.warning(
+                    "near-dup LSH bucket skipped: %d ids > max_bucket=%d "
+                    "(C(n,2)=%d candidate pairs suppressed)",
+                    len(ids), max_bucket, len(ids) * (len(ids) - 1) // 2,
+                )
+                continue
+            ia, ib = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[ia])
+            out_b.append(ids[ib])
+        if not out_a:
+            return pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
             )
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        a, b = zip(*itertools.combinations(ids, 2))
-        return pd.DataFrame({"a": list(a), "b": list(b)})
+        pairs = pd.DataFrame(
+            {
+                "a": np.concatenate(out_a).astype(np.int64),
+                "b": np.concatenate(out_b).astype(np.int64),
+            }
+        ).drop_duplicates()
+        return pa.Table.from_pandas(pairs, preserve_index=False)
 
-    return bucket_pairs
+    return bucketed.groupby("__cb").map_groups(
+        pairs_bucket, batch_format="pyarrow"
+    )
 
 
 _EMPTY_PAIRS = {
@@ -343,31 +446,28 @@ def minhash_lsh_pairs(
     the driver holds only candidate ids. Returns a Dataset of
     (a, b, jaccard_pct:int) with a < b.
     """
-    rows_per_band = num_perm // bands
+    def band_emitter(batch: pd.DataFrame) -> pd.DataFrame:
+        # task pool (not actors): the hasher is memoized per worker
+        # process, and tasks scale to every free CPU instead of an
+        # actor-pool cap
+        mh = _get_minhasher(num_perm, 3)
+        n = len(batch)
+        bh = np.empty((n, bands), dtype=np.uint64)
+        for i, t in enumerate(batch[text_col]):
+            bh[i] = mh.band_hashes(mh.signature(str(t)), bands)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(
+                    batch[id_col].to_numpy().astype(np.int64), bands
+                ),
+                "band": np.tile(np.arange(bands, dtype=np.int64), n),
+                "band_hash": bh.reshape(-1).view(np.int64),
+            }
+        )
 
-    class BandEmitter:
-        def __init__(self):
-            self.mh = MinHasher(num_perm=num_perm)
-
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            ids, band_ids, band_hashes = [], [], []
-            for i, t in zip(batch[id_col], batch[text_col]):
-                sig = self.mh.signature(str(t))
-                for band in range(bands):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    h = hash64(",".join(map(str, chunk.tolist())))
-                    ids.append(i)
-                    band_ids.append(band)
-                    band_hashes.append(h)
-            return pd.DataFrame(
-                {id_col: ids, "band": band_ids, "band_hash": band_hashes}
-            )
-
-    banded = ds.map_batches(
-        BandEmitter, batch_format="pandas", concurrency=(2, 8)
-    )
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
+    banded = ds.map_batches(band_emitter, batch_format="pandas")
+    cand = candidate_pairs(
+        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets
     )
     return verify_pairs_distributed(
         cand, ds, jaccard_word_ngrams, threshold,
@@ -416,57 +516,97 @@ class SimHasher:
         return batch
 
 
-def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3):
+def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
+                  n_buckets: int = 64):
     """Near-dup pairs with hamming distance <= max_hamming.
 
     Banding: 4 x 16-bit bands — any pair within hamming 3 shares at least
-    one exact band (pigeonhole). groupby band bucket -> verify popcount.
-    Input must already carry a ``simhash`` int64 column (SimHasher stage).
+    one exact band (pigeonhole). Input must already carry a ``simhash``
+    int64 column (SimHasher stage).
+
+    Dispatch discipline (same as :func:`candidate_pairs`): LSH buckets are
+    co-located by ONE coarse hash-bucket groupby and verified in-task with
+    a singleton prefilter — not one Ray dispatch per (band, key) group;
+    cross-band pair duplicates are dropped the same way (bucket on ``a``,
+    vectorized drop_duplicates), not via a per-pair groupby.
     """
+    from ..functions.hashing import bucket_column
 
     def emit_bands(batch: pd.DataFrame) -> pd.DataFrame:
         # unsigned reinterpretation via Python-int masking (stable across
         # NumPy versions; uint64(negative) raises on NumPy >= 2.0)
-        ids, bands, keys, sigs = [], [], [], []
-        for i, s in zip(batch[id_col], batch["simhash"]):
-            s = int(s)
-            u = s & 0xFFFFFFFFFFFFFFFF
-            for band in range(4):
-                key = (u >> (band * 16)) & 0xFFFF
-                ids.append(i)
-                bands.append(band)
-                keys.append(key)
-                sigs.append(s)
+        n = len(batch)
+        u = np.array(
+            [int(s) & 0xFFFFFFFFFFFFFFFF for s in batch["simhash"]],
+            dtype=np.uint64,
+        )
+        keys = np.empty((n, 4), dtype=np.int64)
+        for band in range(4):
+            keys[:, band] = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
+                np.int64
+            )
         return pd.DataFrame(
-            {id_col: ids, "band": bands, "key": keys, "simhash": sigs}
+            {
+                id_col: np.repeat(batch[id_col].to_numpy().astype(np.int64), 4),
+                "band": np.tile(np.arange(4, dtype=np.int64), n),
+                "key": keys.reshape(-1),
+                "simhash": np.repeat(batch["simhash"].to_numpy().astype(np.int64), 4),
+            }
         )
 
     banded = ds.map_batches(emit_bands, batch_format="pandas")
-
-    def bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        rows = sorted(
-            set(zip((int(v) for v in group[id_col]), (int(v) for v in group["simhash"])))
-        )
-        out_a, out_b, out_h = [], [], []
-        for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
-            if ia == ib:
-                continue
-            d = ((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).bit_count()
-            if d <= max_hamming:
-                out_a.append(min(ia, ib))
-                out_b.append(max(ia, ib))
-                out_h.append(d)
-        return pd.DataFrame({"a": out_a, "b": out_b, "hamming": out_h}).astype("int64")
-
-    pairs = banded.groupby(["band", "key"]).map_groups(
-        bucket_verify, batch_format="pandas"
+    bucketed = banded.map_batches(
+        lambda t: bucket_column(t, "key", n_buckets, "__sb"),
+        batch_format="pyarrow",
     )
 
-    def first_only(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
+    def verify_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__sb"]).to_pandas()
+        df = df[df.duplicated(["band", "key"], keep=False)]
+        out_a, out_b, out_h = [], [], []
+        for _, g in df.groupby(["band", "key"], sort=False):
+            rows = sorted(
+                set(zip((int(v) for v in g[id_col]), (int(v) for v in g["simhash"])))
+            )
+            for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+                if ia == ib:
+                    continue
+                d = ((sa ^ sb) & 0xFFFFFFFFFFFFFFFF).bit_count()
+                if d <= max_hamming:
+                    out_a.append(min(ia, ib))
+                    out_b.append(max(ia, ib))
+                    out_h.append(d)
+        return pa.table(
+            {
+                "a": pa.array(out_a, pa.int64()),
+                "b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_h, pa.int64()),
+            }
+        )
 
-    # a pair can surface from several bands — keep one representative
-    return pairs.groupby(["a", "b"]).map_groups(first_only, batch_format="pandas")
+    pairs = bucketed.groupby("__sb").map_groups(
+        verify_bucket, batch_format="pyarrow"
+    )
+
+    # a pair can surface from several bands (with the SAME hamming value,
+    # so first-wins is deterministic): dedupe vectorized per pair bucket
+    deduped_pre = pairs.map_batches(
+        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
+    )
+    pair_bucketed = deduped_pre.map_batches(
+        lambda t: bucket_column(t, "a", n_buckets, "__pb"),
+        batch_format="pyarrow",
+    )
+
+    def dedup_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__pb"]).to_pandas()
+        return pa.Table.from_pandas(
+            df.drop_duplicates(["a", "b"]), preserve_index=False
+        )
+
+    return pair_bucketed.groupby("__pb").map_groups(
+        dedup_bucket, batch_format="pyarrow"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -497,37 +637,44 @@ def ngram_jaccard_pairs(
     bucketed text join + batched verify; no corpus broadcast)."""
     num_perm, bands = 64, 16
 
-    class CharBandEmitter:
-        def __init__(self):
-            rng = stable_seed("chargram", n)
-            self.a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
-            self.b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    def char_band_emitter(batch: pd.DataFrame) -> pd.DataFrame:
+        # candidate generation hashes BYTE n-gram windows with one
+        # vectorized rolling combine per text (the exact verify below
+        # still uses true character n-gram sets)
+        rng = stable_seed("chargram", n)
+        a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+        b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+        mh = _get_minhasher(num_perm, 3)  # reuse band_hashes kernel only
+        ids_out, bh_rows = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            norm = " ".join(str(t).split())
+            raw = np.frombuffer(norm.encode("utf-8"), dtype=np.uint8)
+            if len(raw) == 0:
+                continue
+            grams = np.unique(_window_combine(raw.astype(np.uint64), n))
+            sig = ((np.outer(a, grams) + b[:, None]) % _MERSENNE).min(axis=1)
+            ids_out.append(int(i))
+            bh_rows.append(mh.band_hashes(sig, bands))
+        if not ids_out:
+            return pd.DataFrame(
+                {
+                    id_col: pd.array([], dtype="int64"),
+                    "band": pd.array([], dtype="int64"),
+                    "band_hash": pd.array([], dtype="int64"),
+                }
+            )
+        bh = np.stack(bh_rows)
+        return pd.DataFrame(
+            {
+                id_col: np.repeat(np.asarray(ids_out, np.int64), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int64), len(ids_out)),
+                "band_hash": bh.reshape(-1).view(np.int64),
+            }
+        )
 
-        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-            rows_per_band = num_perm // bands
-            ids, band_ids, keys = [], [], []
-            for i, t in zip(batch[id_col], batch[text_col]):
-                grams = char_ngrams(str(t), n)
-                if not grams:
-                    continue
-                gh = np.fromiter(
-                    (hash64(g) & 0x7FFFFFFFFFFFFFFF for g in grams),
-                    dtype=np.uint64,
-                    count=len(grams),
-                )
-                sig = ((np.outer(self.a, gh) + self.b[:, None]) % _MERSENNE).min(axis=1)
-                for band in range(bands):
-                    chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
-                    ids.append(i)
-                    band_ids.append(band)
-                    keys.append(hash64(",".join(map(str, chunk.tolist()))))
-            return pd.DataFrame({id_col: ids, "band": band_ids, "band_hash": keys})
-
-    banded = ds.map_batches(
-        CharBandEmitter, batch_format="pandas", concurrency=(2, 8)
-    )
-    cand = banded.groupby(["band", "band_hash"]).map_groups(
-        _bucket_pairs_fn(id_col, max_bucket), batch_format="pandas"
+    banded = ds.map_batches(char_band_emitter, batch_format="pandas")
+    cand = candidate_pairs(
+        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets
     )
 
     def char_jaccard(x: str, y: str) -> float:
@@ -636,11 +783,16 @@ def embedding_dup_counts(ds, *, id_col: str = "vec_id", threshold: float = 0.95)
 
 
 def embedding_neardup_lsh(
-    ds, *, id_col: str = "vec_id", threshold: float = 0.95, planes: int = 16, dim: int = 64
+    ds, *, id_col: str = "vec_id", threshold: float = 0.95, planes: int = 16,
+    dim: int = 64, n_buckets: int = 64
 ):
     """Scale path: random-hyperplane (sign) LSH bucketing + in-bucket exact
     verify. Recall < 1 by construction (documented); candidates never leave
-    their bucket so the shuffle moves one signature row per vector."""
+    their bucket so the shuffle moves one signature row per vector. LSH
+    buckets are co-located by a COARSE hash bucket (one Ray dispatch per
+    coarse bucket, not per occupied LSH bucket) and verified with one
+    matmul per non-singleton LSH bucket inside the task."""
+    from ..functions.hashing import bucket_column
 
     rng = stable_seed("signlsh", planes, dim)
     hyper = rng.standard_normal((dim, planes))
@@ -657,34 +809,50 @@ def embedding_neardup_lsh(
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").map_batches(
+        lambda t: bucket_column(t, "bucket", n_buckets, "__eb"),
+        batch_format="pyarrow",
+    )
 
-    def verify(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype("int64")
-        ids = group[id_col].to_numpy()
-        mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-        n = np.linalg.norm(mat, axis=1)
-        n[n == 0] = 1.0
-        matn = mat / n[:, None]
-        sims = matn @ matn.T
-        rows, cols = np.nonzero(np.triu(sims >= threshold, k=1))
-        a = np.minimum(ids[rows], ids[cols])
-        b = np.maximum(ids[rows], ids[cols])
-        return pd.DataFrame({"a": a.astype("int64"), "b": b.astype("int64")})
+    def verify_coarse(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__eb"]).to_pandas()
+        df = df[df.duplicated("bucket", keep=False)]
+        out_a, out_b = [], []
+        for _, group in df.groupby("bucket", sort=False):
+            ids = group[id_col].to_numpy()
+            mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+            n = np.linalg.norm(mat, axis=1)
+            n[n == 0] = 1.0
+            matn = mat / n[:, None]
+            sims = matn @ matn.T
+            rows, cols = np.nonzero(np.triu(sims >= threshold, k=1))
+            out_a.append(np.minimum(ids[rows], ids[cols]))
+            out_b.append(np.maximum(ids[rows], ids[cols]))
+        a = np.concatenate(out_a) if out_a else np.array([], np.int64)
+        b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        return pa.table(
+            {
+                "a": pa.array(a.astype(np.int64)),
+                "b": pa.array(b.astype(np.int64)),
+            }
+        )
 
-    return bucketed.groupby("bucket").map_groups(verify, batch_format="pandas")
+    return bucketed.groupby("__eb").map_groups(
+        verify_coarse, batch_format="pyarrow"
+    )
 
 
 def embedding_neardup_lsh_stats(
     ds, *, id_col: str = "vec_id", threshold: float = 0.95,
-    planes: int = 16, dim: int = 64
+    planes: int = 16, dim: int = 64, n_buckets: int = 64
 ):
     """Sign-LSH bucketing summary: (bucket, n_vecs, n_dup_pairs) per
     occupied bucket. Same bucketing + in-bucket verify as
-    :func:`embedding_neardup_lsh`, but the output is schema-stable and
-    non-empty on duplicate-free corpora (the pair list alone collapses to a
-    schemaless empty Dataset, which downstream consumers can't type)."""
+    :func:`embedding_neardup_lsh` (including the coarse-bucket dispatch
+    discipline), but the output is schema-stable and non-empty on
+    duplicate-free corpora (the pair list alone collapses to a schemaless
+    empty Dataset, which downstream consumers can't type)."""
+    from ..functions.hashing import bucket_column
 
     rng = stable_seed("signlsh", planes, dim)
     hyper = rng.standard_normal((dim, planes))
@@ -701,23 +869,34 @@ def embedding_neardup_lsh_stats(
             }
         )
 
-    bucketed = ds.map_batches(bucketize, batch_format="pandas")
+    bucketed = ds.map_batches(bucketize, batch_format="pandas").map_batches(
+        lambda t: bucket_column(t, "bucket", n_buckets, "__eb"),
+        batch_format="pyarrow",
+    )
 
-    def summarize(group: pd.DataFrame) -> pd.DataFrame:
-        n = len(group)
-        pairs = 0
-        if n >= 2:
-            mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
-            nm = np.linalg.norm(mat, axis=1)
-            nm[nm == 0] = 1.0
-            sims = (mat / nm[:, None]) @ (mat / nm[:, None]).T
-            pairs = int(np.triu(sims >= threshold, k=1).sum())
-        return pd.DataFrame(
+    def summarize_coarse(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__eb"]).to_pandas()
+        out_bucket, out_n, out_pairs = [], [], []
+        for bucket, group in df.groupby("bucket", sort=False):
+            n = len(group)
+            pairs = 0
+            if n >= 2:
+                mat = np.stack(group["embedding"].to_numpy()).astype(np.float64)
+                nm = np.linalg.norm(mat, axis=1)
+                nm[nm == 0] = 1.0
+                sims = (mat / nm[:, None]) @ (mat / nm[:, None]).T
+                pairs = int(np.triu(sims >= threshold, k=1).sum())
+            out_bucket.append(int(bucket))
+            out_n.append(n)
+            out_pairs.append(pairs)
+        return pa.table(
             {
-                "bucket": [int(group["bucket"].iloc[0])],
-                "n_vecs": [np.int64(n)],
-                "n_dup_pairs": [np.int64(pairs)],
+                "bucket": pa.array(out_bucket, pa.int64()),
+                "n_vecs": pa.array(out_n, pa.int64()),
+                "n_dup_pairs": pa.array(out_pairs, pa.int64()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(summarize, batch_format="pandas")
+    return bucketed.groupby("__eb").map_groups(
+        summarize_coarse, batch_format="pyarrow"
+    )
