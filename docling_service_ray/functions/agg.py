@@ -16,6 +16,8 @@ from __future__ import annotations
 import pandas as pd
 import pyarrow as pa
 
+from .arrow_util import table_from_pandas
+
 from .hashing import bucket_column
 
 _BUCKET = "__agg_bucket"
@@ -41,6 +43,6 @@ def bucketed_group_agg(ds, keys: list, aggs: dict, *, n_buckets: int = 64):
         for name in aggs:
             if str(out[name].dtype).startswith(("int", "uint")):
                 out[name] = out[name].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return bucketed.groupby(_BUCKET).map_groups(agg_bucket, batch_format="pyarrow")

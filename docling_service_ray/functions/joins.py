@@ -15,6 +15,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from .arrow_util import table_from_pandas
+
 from .hashing import bucket_column
 
 _SIDE_COL = "__join_side"
@@ -84,10 +86,8 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
         joined = l.merge(r, on=key, how=how)
         # enforce the declared output schema (outer joins introduce NaN in
         # int columns; from_pandas(schema=...) maps them back to nulls)
-        return pa.Table.from_pandas(
-            joined[[n for n, _ in all_fields]], schema=out_schema,
-            preserve_index=False,
-        )
+        return table_from_pandas(
+            joined[[n for n, _ in all_fields]], schema=out_schema)
 
     return tagged.groupby(_BUCKET_COL).map_groups(
         join_bucket, batch_format="pyarrow"
@@ -151,7 +151,7 @@ def grouped_topk(ds, group_key: str, order_col: str, k: int, *,
         )
         top = df.groupby(group_key, sort=False).head(k).copy()
         top["rank"] = top.groupby(group_key, sort=False).cumcount() + 1
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return table_from_pandas(top)
 
     return bucketed.groupby(_BUCKET_COL).map_groups(
         finish, batch_format="pyarrow"
@@ -210,7 +210,7 @@ def asof_join_per_key(left, right, key: str, ts_col: str, *,
         )
         if rkeep:  # inner semantics: drop left rows with no as-of match
             m = m.dropna(subset=[rkeep[0] + suffix])
-        return pa.Table.from_pandas(m[out_columns], preserve_index=False)
+        return table_from_pandas(m[out_columns])
 
     return tagged.groupby(_BUCKET_COL).map_groups(
         match_bucket, batch_format="pyarrow"

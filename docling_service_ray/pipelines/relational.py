@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..functions.arrow_util import table_from_pandas
 import pyarrow.compute as pc
 
 from ..functions.money import to_cents
@@ -273,7 +275,7 @@ def stitch_events(sf_dir: str):
             .reset_index()
         )
         out["n_events"] = out["n_events"].astype("int64")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return bucketed.groupby("__bucket").map_groups(
         stitch_bucket, batch_format="pyarrow"
@@ -398,7 +400,7 @@ def q1_pricing(sf_dir: str):
             )
             .reset_index()
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
@@ -452,7 +454,7 @@ def q3_revenue(sf_dir: str):
         keys = batch["l_orderkey"].to_numpy(zero_copy_only=False)
         df = pd.DataFrame({"l_orderkey": keys, "revenue_cents": rev.to_numpy(zero_copy_only=False)})
         agg = df.groupby("l_orderkey", sort=True)["revenue_cents"].sum().reset_index()
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        return table_from_pandas(agg)
 
     from ..functions.agg import bucketed_group_agg
 
@@ -492,10 +494,8 @@ def q3_revenue(sf_dir: str):
         ["revenue_cents", "o_orderkey"], ascending=[False, True],
         kind="mergesort",
     ).head(10)
-    return pa.Table.from_pandas(
-        top[["o_orderkey", "o_orderpriority", "revenue_cents"]],
-        preserve_index=False,
-    )
+    return table_from_pandas(
+        top[["o_orderkey", "o_orderpriority", "revenue_cents"]])
 
 
 # ---------------------------------------------------------------------------
@@ -666,7 +666,7 @@ def session_windows(sf_dir: str):
         # TIMESTAMP is us — representation must match for the value hash
         out["session_start"] = out["session_start"].astype("datetime64[us]")
         out["session_end"] = out["session_end"].astype("datetime64[us]")
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return bucketed.groupby("__bucket").map_groups(
         sessionize_bucket, batch_format="pyarrow"

@@ -78,6 +78,44 @@ def fingerprints(sf_dir: str):
     )
 
 
+@register(
+    "quality_scores",
+    "WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+    "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
+    "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) "
+    "AS n_digits, "
+    "CAST(len(regexp_extract_all(text, '\\bthe\\b')) "
+    "+ len(regexp_extract_all(text, '\\band\\b')) "
+    "+ len(regexp_extract_all(text, '\\bof\\b')) "
+    "+ len(regexp_extract_all(text, '\\bto\\b')) "
+    "+ len(regexp_extract_all(text, '\\bin\\b')) AS BIGINT) AS stop_hits, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
+    "FROM documents), "
+    "u AS (SELECT doc_id, "
+    "(n_spaces * 1000) // GREATEST(n_chars, 1) AS space_pm, "
+    "(n_digits * 1000) // GREATEST(n_chars, 1) AS digit_pm, "
+    "(stop_hits * 1000) // GREATEST(n_tokens, 1) AS stopword_pm, "
+    "CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1000 ELSE 0 END AS len_score_pm "
+    "FROM t) "
+    "SELECT doc_id, CAST(space_pm AS BIGINT) AS space_pm, "
+    "CAST(digit_pm AS BIGINT) AS digit_pm, "
+    "CAST(stopword_pm AS BIGINT) AS stopword_pm, "
+    "CAST(GREATEST(LEAST(space_pm, 200) * 2 + LEAST(stopword_pm, 250) * 2 "
+    "+ len_score_pm - digit_pm, 0) AS BIGINT) AS quality_pm FROM u",
+)
+def quality_scores(sf_dir: str):
+    """Composite integer fixed-point quality score (training-data filter
+    feature; vectorized pandas str kernels, bit-exact SQL mirror)."""
+    from ..stages.text_analysis import quality_score_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(quality_score_batch, batch_format="pandas").select_columns(
+        ["doc_id", "space_pm", "digit_pm", "stopword_pm", "quality_pm"]
+    )
+
+
 @register("langid")  # heuristic classifier — no SQL oracle (rows-only check)
 def langid(sf_dir: str):
     from ..stages.text_analysis import LangId

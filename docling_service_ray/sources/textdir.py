@@ -17,12 +17,17 @@ ALLOWED_SUFFIXES = (".txt", ".md", ".html", ".htm")  # ext gate, S1 analog
 MAX_DOC_BYTES = 25 * 1024 * 1024  # reference upload cap (app/config.py:14)
 
 
-def read_text_documents(path_or_paths, *, suffixes=ALLOWED_SUFFIXES):
+def read_text_documents(path_or_paths, *, suffixes=ALLOWED_SUFFIXES,
+                        filesystem=None):
     """Directory/list of text files -> Dataset(doc_id: string, text: string,
     n_bytes: int64), with the reference's extension + size validation
     applied as vectorized per-batch predicates (rows, not exceptions)."""
+    kwargs = {}
+    if filesystem is not None:
+        kwargs["filesystem"] = filesystem
     ds = rd.read_binary_files(
-        path_or_paths, include_paths=True, file_extensions=[s.lstrip(".") for s in suffixes]
+        path_or_paths, include_paths=True,
+        file_extensions=[s.lstrip(".") for s in suffixes], **kwargs
     )
 
     def to_docs(batch: pa.Table) -> pa.Table:
@@ -44,3 +49,46 @@ def read_text_documents(path_or_paths, *, suffixes=ALLOWED_SUFFIXES):
         )
 
     return ds.map_batches(to_docs, batch_format="pyarrow")
+
+
+def read_url_documents(urls, *, suffixes=ALLOWED_SUFFIXES):
+    """URL source (S2 analog, reference ``app/main.py:1099-1105``): fetch
+    documents addressed by URL into the same Dataset shape as
+    :func:`read_text_documents`.
+
+    The scheme routes to a ``pyarrow.fs`` filesystem — the same pluggable
+    seam as the sink factory (``sinks.make_filesystem``):
+
+    - ``file://`` (or bare paths) -> LocalFileSystem, fully exercised by
+      tests;
+    - ``s3://bucket/key`` -> S3FileSystem (optionally with an R2-style
+      ``endpoint_override``) — constructed but unexercised here (no
+      network in this sandbox);
+    - ``http(s)://`` -> loud NotImplementedError (would need an HTTP
+      filesystem; none is available offline).
+
+    All URLs in one call must share a scheme (one filesystem per read).
+    """
+    from urllib.parse import urlparse
+
+    from .sinks import make_filesystem
+
+    schemes = set()
+    paths = []
+    for u in urls:
+        p = urlparse(str(u))
+        scheme = p.scheme or "file"
+        schemes.add(scheme)
+        if scheme == "file":
+            paths.append(p.path)
+        elif scheme == "s3":
+            paths.append(p.netloc + p.path)
+        else:
+            raise NotImplementedError(
+                f"URL scheme '{scheme}' needs a network-backed filesystem; "
+                "only file:// and s3:// route through pyarrow.fs here"
+            )
+    if len(schemes) > 1:
+        raise ValueError(f"mixed URL schemes in one read: {sorted(schemes)}")
+    fs = make_filesystem("s3") if schemes == {"s3"} else None
+    return read_text_documents(paths, suffixes=suffixes, filesystem=fs)

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrow_util import table_from_pandas
+
 from ..functions.hashing import hash64, stable_seed
 
 logger = logging.getLogger(__name__)
@@ -261,7 +263,7 @@ def candidate_pairs(banded, *, id_col: str, max_bucket: int,
                 "b": np.concatenate(out_b).astype(np.int64),
             }
         ).drop_duplicates()
-        return pa.Table.from_pandas(pairs, preserve_index=False)
+        return table_from_pandas(pairs)
 
     return bucketed.groupby("__cb").map_groups(
         pairs_bucket, batch_format="pyarrow"
@@ -371,9 +373,8 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
             ["id", "a", "b", "side"]
         ).to_pandas()
         m = pdf.merge(tdf, on="id", how="inner")
-        return pa.Table.from_pandas(
-            m[["a", "b", "side", "text"]], preserve_index=False
-        )
+        return table_from_pandas(
+            m[["a", "b", "side", "text"]])
 
     attached = by_id.groupby("__vb").map_groups(
         attach_bucket, batch_format="pyarrow"
@@ -600,9 +601,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
 
     def dedup_bucket(grp: pa.Table) -> pa.Table:
         df = grp.drop_columns(["__pb"]).to_pandas()
-        return pa.Table.from_pandas(
-            df.drop_duplicates(["a", "b"]), preserve_index=False
-        )
+        return table_from_pandas(
+            df.drop_duplicates(["a", "b"]))
 
     return pair_bucketed.groupby("__pb").map_groups(
         dedup_bucket, batch_format="pyarrow"

@@ -28,6 +28,8 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..functions.arrow_util import table_from_pandas
+
 DEFAULT_PREFIX = "blocks/"
 DEFAULT_SUFFIX = ".md"
 
@@ -85,7 +87,7 @@ def canonical_keys(ds, *, id_col: str = "doc_id", text_col: str = "text",
                 ),
             }
         )
-        return pa.Table.from_pandas(out, preserve_index=False)
+        return table_from_pandas(out)
 
     return bucketed.groupby("__rb").map_groups(
         resolve_bucket, batch_format="pyarrow"

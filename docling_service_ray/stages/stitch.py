@@ -201,56 +201,102 @@ def add_chunk_column(batch: pa.Table) -> pa.Table:
     return batch.append_column("chunk", chunk)
 
 
-def _stitch_chunk(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("turn_idx", kind="mergesort")
-    parts = []
-    n_errors = 0
+def _add_salted_bucket(batch: pa.Table, n_buckets: int) -> pa.Table:
+    """bucket = hash(conv_id, chunk) % n_buckets — chunks of the same
+    conversation land in DIFFERENT buckets, which is the whole point of
+    salting (one giant conversation never concentrates in one task)."""
+    from ..functions.hashing import bucket_column
+
+    wide = bucket_column(batch, "conv_id", 1 << 30, "__h")
+    h = wide["__h"].to_numpy(zero_copy_only=False)
+    chunk = wide["chunk"].to_numpy(zero_copy_only=False).astype(np.int64)
+    bucket = (h * 1000003 + chunk) % n_buckets
+    return wide.drop_columns(["__h"]).append_column("bucket", pa.array(bucket))
+
+
+def _stitch_chunks_bucket(grp: pa.Table) -> pa.Table:
+    """All (conv, chunk) groups of one bucket -> one segment row each,
+    via a single vectorized sort + groupby-agg (no per-chunk dispatch)."""
+    df = grp.drop_columns(["bucket"]).to_pandas()
+    df = df.sort_values(["conv_id", "chunk", "turn_idx"], kind="mergesort")
+    marker = (
+        "<!-- Turn " + df["turn_idx"].astype(str) + " (" + df["role"] + ") -->"
+    )
     # fillna("") matches the hash-bucket path (_stitch_frame) — a null
     # extracted_text must not break the byte-identical equivalence
-    for turn_idx, role, text, ok in zip(
-        g["turn_idx"], g["role"], g["extracted_text"].fillna(""), g["ok"]
-    ):
-        if not ok:
-            n_errors += 1
-        marker = turn_marker(int(turn_idx), role)
-        parts.append(marker + "\n" + text if text else marker)
-    return pd.DataFrame(
+    text = df["extracted_text"].fillna("")
+    piece = np.where(text != "", marker + "\n" + text, marker)
+    tmp = pd.DataFrame(
         {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "chunk": [int(g["chunk"].iloc[0])],
-            "seg_text": ["\n\n".join(parts)],
-            "n_turns": [len(g)],
-            "n_errors": [n_errors],
-            "min_turn": [int(g["turn_idx"].min())],
-            "max_turn": [int(g["turn_idx"].max())],
+            "conv_id": df["conv_id"].to_numpy(),
+            "chunk": df["chunk"].to_numpy().astype(np.int64),
+            "piece": piece,
+            "turn_idx": df["turn_idx"].to_numpy(),
+            "err": (~df["ok"].astype(bool)).to_numpy(),
         }
     )
-
-
-def _stitch_conversation(group: pd.DataFrame) -> pd.DataFrame:
-    g = group.sort_values("chunk", kind="mergesort")
-    seg = pd.DataFrame(
-        {
-            "conv_id": [g["conv_id"].iloc[0]],
-            "seg_text": ["\n\n".join(t for t in g["seg_text"] if t)],
-            "n_turns": [int(g["n_turns"].sum())],
-            "n_errors": [int(g["n_errors"].sum())],
-            "min_turn": [int(g["min_turn"].min())],
-            "max_turn": [int(g["max_turn"].max())],
-        }
+    seg = (
+        tmp.groupby(["conv_id", "chunk"], sort=True)
+        .agg(
+            seg_text=("piece", "\n\n".join),
+            n_turns=("piece", "size"),
+            n_errors=("err", "sum"),
+            min_turn=("turn_idx", "min"),
+            max_turn=("turn_idx", "max"),
+        )
+        .reset_index()
     )
-    return _finalize(seg).to_pandas()
+    for c in ("chunk", "n_turns", "n_errors", "min_turn", "max_turn"):
+        seg[c] = seg[c].astype("int64")
+    from ..functions.arrow_util import table_from_pandas
+
+    return table_from_pandas(seg)
 
 
-def stitch_conversations_salted(extracted_ds):
-    """Two-level salted groupby formulation (see module docstring)."""
+def _stitch_convs_bucket(grp: pa.Table) -> pa.Table:
+    """All conversations of one bucket: concatenate their chunk segments
+    in chunk order and finalize, vectorized per bucket."""
+    df = grp.drop_columns(["bucket"]).to_pandas()
+    df = df.sort_values(["conv_id", "chunk"], kind="mergesort")
+    seg = (
+        df.groupby("conv_id", sort=True)
+        .agg(
+            seg_text=("seg_text", "\n\n".join),
+            n_turns=("n_turns", "sum"),
+            n_errors=("n_errors", "sum"),
+            min_turn=("min_turn", "min"),
+            max_turn=("max_turn", "max"),
+        )
+        .reset_index()
+    )
+    for c in ("n_turns", "n_errors", "min_turn", "max_turn"):
+        seg[c] = seg[c].astype("int64")
+    return _finalize(seg[_SEG_COLUMNS])
+
+
+def stitch_conversations_salted(extracted_ds, *, n_buckets: int | None = None):
+    """Two-level salted formulation (see module docstring): chunks of a
+    conversation are stitched in bucket tasks keyed by (conv_id, chunk)
+    hash — bounding per-task payload to ~SALT_SPAN turns per chunk even
+    for giant conversations — then chunk segments are concatenated per
+    conversation in a second bucketed pass. Both levels use coarse
+    hash-bucket co-location + vectorized in-task group handling (never a
+    Ray dispatch per conversation or per chunk)."""
+    if n_buckets is None:
+        n_buckets = _default_n_buckets()
     narrow = extracted_ds.select_columns(
         ["conv_id", "turn_idx", "role", "extracted_text", "ok"]
     )
     chunked = narrow.map_batches(add_chunk_column, batch_format="pyarrow")
-    per_chunk = chunked.groupby(["conv_id", "chunk"]).map_groups(
-        _stitch_chunk, batch_format="pandas"
+    salted = chunked.map_batches(
+        lambda t: _add_salted_bucket(t, n_buckets), batch_format="pyarrow"
     )
-    return per_chunk.groupby("conv_id").map_groups(
-        _stitch_conversation, batch_format="pandas"
+    per_chunk = salted.groupby("bucket").map_groups(
+        _stitch_chunks_bucket, batch_format="pyarrow"
+    )
+    by_conv = per_chunk.map_batches(
+        lambda t: add_bucket_column(t, n_buckets), batch_format="pyarrow"
+    )
+    return by_conv.groupby("bucket").map_groups(
+        _stitch_convs_bucket, batch_format="pyarrow"
     )

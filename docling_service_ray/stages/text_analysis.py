@@ -59,6 +59,50 @@ def fingerprint_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     return batch
 
 
+_STOPWORDS = ("the", "and", "of", "to", "in")
+
+
+def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Composite document quality score (training-data filtering feature),
+    integer fixed-point so a SQL oracle can reproduce it bit-exactly.
+
+    Components (all per mille, int64):
+    - space_ratio_pm: spaces / chars (prose has ~150-200)
+    - digit_ratio_pm: digits / chars (boilerplate/tables skew high)
+    - stopword_pm: occurrences of 5 common English stopwords per token
+    - len_score_pm: 1000 if 100 <= n_chars <= 20000 else 0 (the upload
+      size-gate analog, reference app/main.py:1074-1087)
+
+    quality_pm = (space_pm.clip(0,200)*2 + stopword_pm.clip(0,250)*2
+                  + len_score_pm - digit_pm) floored at 0.
+    """
+    s = batch[text_col].fillna("")
+    n_chars = s.str.len().astype("int64")
+    denom = n_chars.where(n_chars > 0, 1)
+    space_pm = (s.str.count(" ").astype("int64") * 1000) // denom
+    digit_pm = (s.str.count(r"[0-9]").astype("int64") * 1000) // denom
+    n_tokens = s.str.strip().str.count(r"\s+").astype("int64") + 1
+    n_tokens[s.str.strip() == ""] = 0
+    tok_denom = n_tokens.where(n_tokens > 0, 1)
+    stop_hits = sum(
+        s.str.count(rf"\b{w}\b").astype("int64") for w in _STOPWORDS
+    )
+    stopword_pm = (stop_hits * 1000) // tok_denom
+    len_score_pm = ((n_chars >= 100) & (n_chars <= 20000)).astype("int64") * 1000
+    quality_pm = (
+        space_pm.clip(upper=200) * 2
+        + stopword_pm.clip(upper=250) * 2
+        + len_score_pm
+        - digit_pm
+    ).clip(lower=0)
+    out = batch.copy()
+    out["space_pm"] = space_pm
+    out["digit_pm"] = digit_pm
+    out["stopword_pm"] = stopword_pm
+    out["quality_pm"] = quality_pm.astype("int64")
+    return out
+
+
 # --- language id (heuristic; stateful actor) --------------------------------
 
 _LANG_PROFILES = {

@@ -30,3 +30,29 @@ def test_read_text_documents(ray_session):
     r = extract_batch(tbl)
     assert r.column("ok").to_pylist() == [True, True]
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_url_documents_file_scheme(ray_session):
+    """S2 analog: file:// URLs route through the pyarrow.fs seam and
+    produce the same Dataset shape as the directory source."""
+    import pytest
+
+    from docling_service_ray.sources.textdir import read_url_documents
+
+    d = "/tmp/graft_test_urlsrc"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    for name, body in [("x.txt", "first url doc"), ("y.md", "second url doc")]:
+        with open(os.path.join(d, name), "w") as f:
+            f.write(body)
+
+    urls = [f"file://{d}/x.txt", f"file://{d}/y.md"]
+    out = read_url_documents(urls).to_pandas().sort_values("doc_id")
+    assert [os.path.basename(p) for p in out["doc_id"]] == ["x.txt", "y.md"]
+    assert out["text"].tolist() == ["first url doc", "second url doc"]
+
+    with pytest.raises(NotImplementedError):
+        read_url_documents(["https://example.invalid/doc.txt"])
+    with pytest.raises(ValueError):
+        read_url_documents([f"file://{d}/x.txt", "s3://bucket/y.md"])
+    shutil.rmtree(d, ignore_errors=True)

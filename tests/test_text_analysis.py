@@ -40,3 +40,29 @@ def test_langid():
     assert li.classify("der hund und die katze das ist ein gutes haus") == "de"
     assert li.classify("") == "unknown"
     assert li.classify("你好 世界 这是 中文 文本 测试") == "zh"
+
+
+def test_quality_scores():
+    import pandas as pd
+
+    from docling_service_ray.stages.text_analysis import quality_score_batch
+
+    prose = "the cat and the dog sat in the warm corner of the old house " * 4
+    out = quality_score_batch(
+        pd.DataFrame(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [prose, "1234567890" * 20, ""],
+            }
+        )
+    )
+    q = out.set_index("doc_id")
+    # prose: high spaces + stopwords, len in range -> strong score
+    assert q.loc[0, "quality_pm"] > 1200
+    assert q.loc[0, "stopword_pm"] > 0
+    # digit soup: penalized (no spaces, no stopwords, digit-heavy)
+    assert q.loc[1, "digit_pm"] == 1000
+    assert q.loc[1, "quality_pm"] == 0
+    # empty text: all components zero, no division errors
+    assert q.loc[2, "quality_pm"] == 0
+    assert (out[["space_pm", "digit_pm", "stopword_pm", "quality_pm"]].dtypes == "int64").all()

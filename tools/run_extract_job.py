@@ -52,12 +52,14 @@ def main() -> None:
              if f.endswith(".parquet")]
 
     def pipeline(ds):
-        extracted = apply_extract(ds)
+        # task mode when a shuffle follows: an actor pool would hold its
+        # CPU reservation through the stitch shuffle (see extract_stage)
+        extracted = apply_extract(ds, mode="tasks" if args.stitch else "actors")
         if args.stitch:
             return stitch_conversations(extracted)
         return extracted.select_columns(
             ["conv_id", "turn_idx", "role", "extracted_text", "spans",
-             "stats", "ok", "error", "extractor_path"]
+             "stats", "tables", "positions", "ok", "error", "extractor_path"]
         )
 
     t0 = time.monotonic()
