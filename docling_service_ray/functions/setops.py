@@ -1,0 +1,86 @@
+"""Distributed set operations on a key column: union-distinct, intersect,
+except. Neither the reference (SURVEY.md §2.7: "No union/intersect
+operators") nor this Ray version's Dataset API ships them; a 100 TB
+training-data pipeline needs them for id-set algebra (split management,
+exclusion lists, incremental corpus diffs).
+
+Plan (the repo's standard shape): tag each side, hash-bucket the key, ONE
+groupby(bucket) co-locates every key, and each bucket resolves membership
+vectorized (pandas groupby-aggregation over the side tags — no per-key
+dispatch). Output is the distinct key set satisfying the operation.
+
+Partitioning assumption: a bucket's share of both sides' DISTINCT keys
+fits a worker (size ``n_buckets`` to the corpus; keys are deduped per
+batch before the shuffle, so the exchange moves distinct-ish keys, not
+raw rows).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import bucket_column
+
+_SIDE = "__set_side"
+_BUCKET = "__set_bucket"
+
+
+def _tagged_union(a, b, key: str, n_buckets: int):
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            # per-batch dedup BEFORE the shuffle: the exchange moves
+            # distinct keys per batch, not raw rows
+            df = tbl.select([key]).to_pandas().drop_duplicates()
+            out = pa.table({key: pa.array(df[key].to_numpy())})
+            out = bucket_column(out, key, n_buckets, _BUCKET)
+            return out.append_column(
+                _SIDE, pa.array(np.full(len(df), side, np.int8))
+            )
+
+        return fn
+
+    return a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+
+def _resolve(tagged, key: str, keep):
+    """keep(in_a: bool array, in_b: bool array) -> bool array per key."""
+
+    def resolve_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        sides = df.groupby(key)[_SIDE].agg(["min", "max"])
+        in_a = sides["min"].to_numpy() == 0
+        in_b = sides["max"].to_numpy() == 1
+        kept = sides.index.to_numpy()[keep(in_a, in_b)]
+        return pa.table({key: pa.array(np.sort(kept))})
+
+    return tagged.groupby(_BUCKET).map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
+
+
+def union_distinct(a, b, key: str, *, n_buckets: int = 64):
+    """Distinct keys present in either side (SQL UNION)."""
+    return _resolve(
+        _tagged_union(a, b, key, n_buckets), key,
+        lambda in_a, in_b: in_a | in_b,
+    )
+
+
+def intersect(a, b, key: str, *, n_buckets: int = 64):
+    """Distinct keys present in BOTH sides (SQL INTERSECT)."""
+    return _resolve(
+        _tagged_union(a, b, key, n_buckets), key,
+        lambda in_a, in_b: in_a & in_b,
+    )
+
+
+def except_keys(a, b, key: str, *, n_buckets: int = 64):
+    """Distinct keys of side a absent from side b (SQL EXCEPT)."""
+    return _resolve(
+        _tagged_union(a, b, key, n_buckets), key,
+        lambda in_a, in_b: in_a & ~in_b,
+    )

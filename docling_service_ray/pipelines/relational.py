@@ -553,6 +553,129 @@ def top3_orders_per_customer(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# set operations (union / intersect / except over key sets)
+# ---------------------------------------------------------------------------
+def _set_op_sides(sf_dir: str):
+    docs = read_table(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"])
+    a = docs.map_batches(
+        lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    b = docs.map_batches(
+        lambda t: t.filter(pc.greater(t["n_chars"], 500)).select(["doc_id"]),
+        batch_format="pyarrow",
+    )
+    return a, b
+
+
+@register(
+    "set_union",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "UNION SELECT doc_id FROM documents WHERE n_chars > 500",
+)
+def set_union(sf_dir: str):
+    from ..functions.setops import union_distinct
+
+    a, b = _set_op_sides(sf_dir)
+    return union_distinct(a, b, "doc_id")
+
+
+@register(
+    "set_intersect",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "INTERSECT SELECT doc_id FROM documents WHERE n_chars > 500",
+)
+def set_intersect(sf_dir: str):
+    from ..functions.setops import intersect
+
+    a, b = _set_op_sides(sf_dir)
+    return intersect(a, b, "doc_id")
+
+
+@register(
+    "set_except",
+    "SELECT doc_id FROM documents WHERE lang = 'en' "
+    "EXCEPT SELECT doc_id FROM documents WHERE n_chars > 500",
+)
+def set_except(sf_dir: str):
+    from ..functions.setops import except_keys
+
+    a, b = _set_op_sides(sf_dir)
+    return except_keys(a, b, "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# multi-join composition (Q5-shaped): big-big bucketed join chained with
+# broadcast dims, pre-aggregated before the final shuffle
+# ---------------------------------------------------------------------------
+@register(
+    "q5_region_revenue",
+    "SELECT r.r_name AS region, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS revenue_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey GROUP BY r.r_name",
+)
+def q5_region_revenue(sf_dir: str):
+    """Join COMPOSITION demo: orders joins customer through the bucketed
+    big-big hash join (both sides O(rows)); the nation->region dims are a
+    broadcast int map; revenue pre-aggregates per batch before the final
+    small groupby."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import bucketed_hash_join
+
+    nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = read_table(sf_dir, "region", columns=["r_regionkey", "r_name"]).to_pandas()
+    region_names = reg.sort_values("r_regionkey")["r_name"].to_numpy()
+    nation_to_region = np.full(int(nat["n_nationkey"].max()) + 1, -1, np.int16)
+    nation_to_region[nat["n_nationkey"].to_numpy()] = nat[
+        "n_regionkey"
+    ].to_numpy().astype(np.int16)
+    dims_ref = ray.put(nation_to_region)
+
+    orders = read_table(
+        sf_dir, "orders", columns=["o_custkey", "o_totalprice"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["o_custkey"],
+                "cents": to_cents(t["o_totalprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    joined = bucketed_hash_join(orders, cust, "c_custkey", n_buckets=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(dims_ref)
+        rk = lookup[
+            batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        ].astype(np.int64)
+        cents = batch["cents"].to_numpy(zero_copy_only=False)
+        n = len(region_names)
+        counts = np.bincount(rk, minlength=n)
+        sums = np.bincount(rk, weights=cents.astype(np.float64), minlength=n)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "region": pa.array(region_names[nz].tolist(), pa.string()),
+                "n_orders": pa.array(counts[nz].astype(np.int64)),
+                "revenue_cents": pa.array(sums[nz].astype(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("region").aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("revenue_cents", alias_name="revenue_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # distinct (set op)
 # ---------------------------------------------------------------------------
 @register(

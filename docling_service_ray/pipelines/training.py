@@ -387,6 +387,84 @@ def token_histogram(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# distinct counting: exact (distributed pre-agg) + KMV sketch (scale path)
+# ---------------------------------------------------------------------------
+@register(
+    "distinct_token_count",
+    "SELECT CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct FROM ("
+    "SELECT unnest(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word "
+    "FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> '')",
+)
+def distinct_token_count(sf_dir: str):
+    """EXACT corpus-wide distinct-token count: tokens collapse to unique
+    words per batch (the exchange moves vocabulary, not the token
+    stream), one bucket groupby counts uniques per bucket, and only the
+    per-bucket counts (n_buckets ints) reach the driver."""
+    import pyarrow as pa
+
+    from ..functions.hashing import bucket_column
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def words(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.strip()
+        s = s[s != ""]
+        uniq = s.str.split(r"\s+").explode().unique()
+        return pd.DataFrame({"word": uniq})
+
+    w = ds.map_batches(words, batch_format="pandas")
+    bucketed = w.map_batches(
+        lambda t: bucket_column(t, "word", 64, "__wb"), batch_format="pyarrow"
+    )
+
+    def count_bucket(grp: pa.Table) -> pa.Table:
+        n = len(pd.unique(grp["word"].to_pandas()))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    counts = bucketed.groupby("__wb").map_groups(
+        count_bucket, batch_format="pyarrow"
+    )
+    total = int(counts.to_pandas()["n"].sum())
+    return pa.table({"n_distinct": pa.array([total], pa.int64())})
+
+
+@register("approx_distinct_tokens")  # sketch — rows-only (approximate)
+def approx_distinct_tokens(sf_dir: str):
+    """KMV (k-minimum-values) distinct-count sketch: each batch keeps its
+    k smallest 64-bit token hashes; sketches merge by union+truncate (a
+    few KB per batch regardless of corpus size); the estimator is
+    (k-1) / max_kth_normalized. Deterministic (fixed hash), mergeable,
+    and the 100 TB path for cardinalities where even the vocabulary
+    exchange of the exact plan is too wide."""
+    import pyarrow as pa
+
+    from ..functions.hashing import hash64
+
+    K = 1024
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def sketch(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.strip()
+        s = s[s != ""]
+        uniq = s.str.split(r"\s+").explode().unique()
+        hs = np.sort(
+            np.array(
+                [hash64(t) & 0x7FFFFFFFFFFFFFFF for t in uniq], dtype=np.uint64
+            )
+        )[:K]
+        return pd.DataFrame({"h": hs.astype(np.int64)})
+
+    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
+    merged = np.unique(parts["h"].to_numpy().astype(np.uint64))[:K]
+    if len(merged) < K:  # fewer distincts than k -> exact
+        est = len(merged)
+    else:
+        est = int((K - 1) / (merged[-1] / float(1 << 63)))
+    return pa.table({"n_distinct_est": pa.array([est], pa.int64())})
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (codec stubbed; schema/actor plumbing real — rows-only)
 # ---------------------------------------------------------------------------
 @register("multimodal_meta")

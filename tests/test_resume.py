@@ -88,6 +88,36 @@ def test_resume_after_partial_failure(ray_session, out_dir):
     assert total == clean
 
 
+def test_manifest_counts_errors(ray_session, out_dir):
+    """n_rows/n_errors in the manifest come from parquet footers + a
+    pruned error-column read — verify they count real ok=False rows."""
+    import pyarrow as pa
+
+    from docling_service_ray.state import Manifest, run_checkpointed
+
+    files = _input_files()
+
+    def pipeline_with_errors(ds):
+        def poison(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            ok = [i % 5 != 0 for i in range(n)]  # every 5th row fails
+            return pa.table(
+                {"conv_id": t["conv_id"], "ok": pa.array(ok, pa.bool_())}
+            )
+
+        return ds.map_batches(poison, batch_format="pyarrow")
+
+    run_checkpointed(files, out_dir, pipeline_with_errors, n_partitions=2)
+    recs = Manifest(out_dir).records()
+    total = sum(r.n_rows for r in recs)
+    errors = sum(r.n_errors for r in recs)
+    assert total > 0
+    # every batch marks ceil(n/5) rows as failed; across all batches the
+    # error share is between 1/5 and ~1/4 for small batches
+    assert 0 < errors < total
+    assert errors >= total // 5
+
+
 def test_resume_after_crash_mid_write(ray_session, out_dir):
     """A crash AFTER write_parquet but BEFORE the manifest write leaves
     stale partial output; the rerun must clear it, not merge with it

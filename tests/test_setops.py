@@ -1,0 +1,64 @@
+"""Distributed set-op primitives + distinct-count sketch."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def ab(ray_session):
+    import ray.data as rd
+
+    a = rd.from_items([{"k": i} for i in [1, 2, 3, 4, 5, 5, 2]])
+    b = rd.from_items([{"k": i} for i in [4, 5, 6, 7, 7]])
+    return a, b
+
+
+def test_union_distinct(ab):
+    from docling_service_ray.functions.setops import union_distinct
+
+    a, b = ab
+    got = sorted(union_distinct(a, b, "k").to_pandas()["k"])
+    assert got == [1, 2, 3, 4, 5, 6, 7]
+
+
+def test_intersect(ab):
+    from docling_service_ray.functions.setops import intersect
+
+    a, b = ab
+    assert sorted(intersect(a, b, "k").to_pandas()["k"]) == [4, 5]
+
+
+def test_except_keys(ab):
+    from docling_service_ray.functions.setops import except_keys
+
+    a, b = ab
+    assert sorted(except_keys(a, b, "k").to_pandas()["k"]) == [1, 2, 3]
+    assert sorted(except_keys(b, a, "k").to_pandas()["k"]) == [6, 7]
+
+
+def test_kmv_sketch_accuracy(ray_session):
+    """KMV estimate within ~10% at 8x the sketch size; exact below k."""
+    import ray.data as rd
+
+    from docling_service_ray.pipelines.training import approx_distinct_tokens
+    from docling_service_ray.sources import tables as T
+
+    # synthesize docs with a known vocabulary through the registered query
+    # path by monkeypatching the table read
+    n_vocab = 8192
+    words = [f"tok{i:05d}" for i in range(n_vocab)]
+    rows = [
+        {"text": " ".join(words[i::64])} for i in range(64)
+    ]  # each word appears exactly once across docs
+    orig = T.read_table
+    try:
+        T.read_table = lambda sf, name, **kw: rd.from_items(rows)
+        import docling_service_ray.pipelines.training as tr
+
+        orig_tr = tr.read_table
+        tr.read_table = T.read_table
+        est = approx_distinct_tokens("ignored").to_pandas()["n_distinct_est"][0]
+        tr.read_table = orig_tr
+    finally:
+        T.read_table = orig
+    assert abs(est - n_vocab) / n_vocab < 0.10
