@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "canonical_refs",
     "rewrite_refs",
     "asof_clicks",
+    "q5_region_revenue",
+    "quality_scores",
+    "set_intersect",
+    "distinct_token_count",
+    "langid",
     "token_counts",
     "token_histogram",
     "fingerprints",

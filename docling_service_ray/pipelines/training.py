@@ -116,7 +116,34 @@ def quality_scores(sf_dir: str):
     )
 
 
-@register("langid")  # heuristic classifier — no SQL oracle (rows-only check)
+@register(
+    "langid",
+    # exact SQL mirror of LangId.classify: same tokenizer char class, same
+    # stopword profiles, same CJK-ratio gate, same first-wins tie order
+    "WITH w AS (SELECT doc_id, text, "
+    "len(regexp_extract_all(text, '[一-鿿]')) AS cjk, "
+    "CASE WHEN regexp_replace(text, '^\\s+|\\s+$', '', 'g') = '' THEN 0 "
+    "ELSE len(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_ws, "
+    "list_transform(regexp_extract_all(text, '[a-zA-Zäöüéèàç]+'), "
+    "x -> lower(x)) AS words FROM documents), "
+    "h AS (SELECT doc_id, text, cjk, n_ws, len(words) AS n_words, "
+    "len(list_filter(words, x -> x IN ('the','and','of','to','a','in',"
+    "'is','that','it','for'))) AS h_en, "
+    "len(list_filter(words, x -> x IN ('le','la','et','de','un','une',"
+    "'est','que','pour','dans'))) AS h_fr, "
+    "len(list_filter(words, x -> x IN ('el','la','y','de','un','una',"
+    "'es','que','por','en'))) AS h_es, "
+    "len(list_filter(words, x -> x IN ('der','die','und','das','ein',"
+    "'ist','nicht','mit','für','auf'))) AS h_de FROM w) "
+    "SELECT doc_id, CASE WHEN length(text) = 0 THEN 'unknown' "
+    "WHEN cjk * 2 > n_ws THEN 'zh' "
+    "WHEN n_words = 0 THEN 'unknown' "
+    "WHEN h_en = 0 AND h_fr = 0 AND h_es = 0 AND h_de = 0 THEN 'unknown' "
+    "WHEN h_en >= GREATEST(h_fr, h_es, h_de) THEN 'en' "
+    "WHEN h_fr >= GREATEST(h_es, h_de) THEN 'fr' "
+    "WHEN h_es >= h_de THEN 'es' ELSE 'de' END AS lang_pred FROM h",
+)
 def langid(sf_dir: str):
     from ..stages.text_analysis import LangId
 
@@ -467,7 +494,23 @@ def approx_distinct_tokens(sf_dir: str):
 # ---------------------------------------------------------------------------
 # multimodal plumbing (codec stubbed; schema/actor plumbing real — rows-only)
 # ---------------------------------------------------------------------------
-@register("multimodal_meta")
+@register(
+    "multimodal_meta",
+    # exact SQL mirror of the deterministic FAKEIMG payload pipeline:
+    # attach (w from char length, h from the first-64-byte sum — the
+    # corpus is ASCII so chars == bytes), decode header, ResizeFilter
+    # (>= 50 px both sides + >= 0.5% of a 612x792 page). n_bytes =
+    # 7 magic + 4 header + 32 * max((w*h)//64, 1) digest repeats.
+    "WITH m AS (SELECT doc_id, 32 + (length(text) % 480) AS w, "
+    "32 + (CASE WHEN length(text) = 0 THEN 0 ELSE "
+    "COALESCE(list_sum(list_transform(generate_series(1, LEAST(length(text), 64)), "
+    "i -> ascii(substr(text, CAST(i AS INTEGER), 1)))), 0) % 480 END) AS h "
+    "FROM documents) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+    "CAST(11 + 32 * GREATEST((w * h) // 64, 1) AS BIGINT) AS n_bytes "
+    "FROM m WHERE w >= 50 AND h >= 50 "
+    "AND (w * h) / (612.0 * 792.0) >= 0.005",
+)
 def multimodal_meta(sf_dir: str):
     from ..stages.multimodal import DecodeImage, ResizeFilter, attach_payload_batch
 

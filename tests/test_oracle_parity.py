@@ -17,6 +17,9 @@ _spec = importlib.util.spec_from_file_location(
 )
 parity = importlib.util.module_from_spec(_spec)
 _spec.loader.exec_module(parity)
+# STRICT: the driver's value hash is representation-sensitive (int64 vs
+# HUGEINT-float, us vs ns timestamps) — the local gate must be too
+parity.STRICT = True
 
 
 @pytest.fixture(scope="module")
@@ -49,7 +52,7 @@ def test_query_matches_oracle(name, ray_session, oracle_con):
     exp = parity.canon(oracle_con.execute(ENTRY.oracle_sql()[name]).df())
     assert list(got.columns) == list(exp.columns)
     assert len(got) == len(exp)
-    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=True)
 
 
 def test_rows_only_queries_run(ray_session):
