@@ -70,3 +70,42 @@ def apply_eviction(out_dir: str, partition_ids: list) -> None:
         rec = os.path.join(manifest_dir, f"{pid}.json")
         if os.path.exists(rec):
             os.remove(rec)
+
+
+def main(argv: list | None = None) -> int:
+    """CLI mirror of the reference's cleanup entrypoint
+    (``python -m app.storage_cleanup <root>``, ``app/storage_cleanup.py:
+    79-91``): ``python -m docling_service_ray.pipelines.maintenance
+    <out_dir> [--retention-days D] [--max-total-mb M] [--apply]``.
+
+    Dry-run by default: prints the eviction plan; ``--apply`` deletes.
+    """
+    import argparse
+    import json
+
+    p = argparse.ArgumentParser()
+    p.add_argument("out_dir")
+    p.add_argument("--retention-days", type=float, default=None)
+    p.add_argument("--max-total-mb", type=float, default=None)
+    p.add_argument("--protect", nargs="*", default=[])
+    p.add_argument("--apply", action="store_true")
+    args = p.parse_args(argv)
+
+    plan = eviction_plan(
+        args.out_dir,
+        retention_days=args.retention_days,
+        max_total_bytes=(
+            int(args.max_total_mb * 1024 * 1024)
+            if args.max_total_mb is not None
+            else None
+        ),
+        protect=set(args.protect),
+    )
+    if args.apply:
+        apply_eviction(args.out_dir, plan)
+    print(json.dumps({"evicted" if args.apply else "plan": plan}))
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via tests
+    raise SystemExit(main())

@@ -194,6 +194,38 @@ def test_eviction_policy(out_dir):
     assert Manifest(out_dir).completed_ids() == {"part-00001", "part-00002"}
 
 
+def test_maintenance_cli(out_dir):
+    """CLI mirror of the reference cleanup entrypoint: dry-run plan, then
+    --apply deletes."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from docling_service_ray.pipelines.maintenance import main
+    from docling_service_ray.state.manifest import Manifest, PartitionRecord
+
+    man = Manifest(out_dir)
+    for i, day in enumerate(["2026-01-01", "2026-02-01"]):
+        os.makedirs(os.path.join(out_dir, f"part-{i:05d}"), exist_ok=True)
+        man.write(
+            PartitionRecord(
+                partition_id=f"part-{i:05d}", bytes_out=100,
+                status="completed", written_at=f"{day}T00:00:00+00:00",
+            )
+        )
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([out_dir, "--max-total-mb", str(150 / 1024 / 1024)])
+    assert _json.loads(buf.getvalue()) == {"plan": ["part-00000"]}
+    assert os.path.isdir(os.path.join(out_dir, "part-00000"))  # dry run
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main([out_dir, "--max-total-mb", str(150 / 1024 / 1024), "--apply"])
+    assert _json.loads(buf.getvalue()) == {"evicted": ["part-00000"]}
+    assert not os.path.isdir(os.path.join(out_dir, "part-00000"))
+
+
 def test_manifest_torn_write_ignored(out_dir):
     from docling_service_ray.state.manifest import Manifest, PartitionRecord
 
