@@ -155,6 +155,16 @@ def _window_combine(h: np.ndarray, n: int) -> np.ndarray:
     return acc & np.uint64(_MERSENNE)
 
 
+def _mod_mersenne(x: np.ndarray) -> np.ndarray:
+    """x mod (2^61 - 1) via shift-fold — no integer division (uint64 `%`
+    is the hottest op in signature computation; the fold is ~5x faster).
+    Input values are < 2^64, so one fold + one conditional subtract lands
+    in [0, M)."""
+    m = np.uint64(_MERSENNE)
+    x = (x >> np.uint64(61)) + (x & m)
+    return np.where(x >= m, x - m, x)
+
+
 class MinHasher:
     """Vectorized minhash signatures over word n-gram shingles.
 
@@ -182,7 +192,7 @@ class MinHasher:
         if sh.size == 0:
             return np.full(self.num_perm, _MERSENNE, dtype=np.uint64)
         # (num_perm, n_shingles) universal hashing, min per row
-        v = (np.outer(self.a, sh) + self.b[:, None]) % _MERSENNE
+        v = _mod_mersenne(np.outer(self.a, sh) + self.b[:, None])
         return v.min(axis=1)
 
     def band_hashes(self, sig: np.ndarray, bands: int) -> np.ndarray:
@@ -308,7 +318,8 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     from ..functions.joins import broadcast_anti_filter
 
     pairs = cand.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
+        lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
+        batch_format="pandas",
     ).materialize()
     if pairs.count() == 0:
         return rd.from_arrow(pa.table(_EMPTY_PAIRS))
@@ -447,22 +458,23 @@ def minhash_lsh_pairs(
     the driver holds only candidate ids. Returns a Dataset of
     (a, b, jaccard_pct:int) with a < b.
     """
-    def band_emitter(batch: pd.DataFrame) -> pd.DataFrame:
+    def band_emitter(batch: pd.DataFrame) -> pa.Table:
         # task pool (not actors): the hasher is memoized per worker
         # process, and tasks scale to every free CPU instead of an
-        # actor-pool cap
+        # actor-pool cap. Output is built as Arrow directly (no pandas
+        # schema metadata entering the shuffle).
         mh = _get_minhasher(num_perm, 3)
         n = len(batch)
         bh = np.empty((n, bands), dtype=np.uint64)
         for i, t in enumerate(batch[text_col]):
             bh[i] = mh.band_hashes(mh.signature(str(t)), bands)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: np.repeat(
-                    batch[id_col].to_numpy().astype(np.int64), bands
+                id_col: pa.array(
+                    np.repeat(batch[id_col].to_numpy().astype(np.int64), bands)
                 ),
-                "band": np.tile(np.arange(bands, dtype=np.int64), n),
-                "band_hash": bh.reshape(-1).view(np.int64),
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
@@ -533,7 +545,7 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     """
     from ..functions.hashing import bucket_column
 
-    def emit_bands(batch: pd.DataFrame) -> pd.DataFrame:
+    def emit_bands(batch: pd.DataFrame) -> pa.Table:
         # unsigned reinterpretation via Python-int masking (stable across
         # NumPy versions; uint64(negative) raises on NumPy >= 2.0)
         n = len(batch)
@@ -546,12 +558,16 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
             keys[:, band] = ((u >> np.uint64(band * 16)) & np.uint64(0xFFFF)).astype(
                 np.int64
             )
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: np.repeat(batch[id_col].to_numpy().astype(np.int64), 4),
-                "band": np.tile(np.arange(4, dtype=np.int64), n),
-                "key": keys.reshape(-1),
-                "simhash": np.repeat(batch["simhash"].to_numpy().astype(np.int64), 4),
+                id_col: pa.array(
+                    np.repeat(batch[id_col].to_numpy().astype(np.int64), 4)
+                ),
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
+                "key": pa.array(keys.reshape(-1)),
+                "simhash": pa.array(
+                    np.repeat(batch["simhash"].to_numpy().astype(np.int64), 4)
+                ),
             }
         )
 
@@ -592,7 +608,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     # a pair can surface from several bands (with the SAME hamming value,
     # so first-wins is deterministic): dedupe vectorized per pair bucket
     deduped_pre = pairs.map_batches(
-        lambda df: df.drop_duplicates(["a", "b"]), batch_format="pandas"
+        lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
+        batch_format="pandas",
     )
     pair_bucketed = deduped_pre.map_batches(
         lambda t: bucket_column(t, "a", n_buckets, "__pb"),
@@ -652,23 +669,25 @@ def ngram_jaccard_pairs(
             if len(raw) == 0:
                 continue
             grams = np.unique(_window_combine(raw.astype(np.uint64), n))
-            sig = ((np.outer(a, grams) + b[:, None]) % _MERSENNE).min(axis=1)
+            sig = _mod_mersenne(np.outer(a, grams) + b[:, None]).min(axis=1)
             ids_out.append(int(i))
             bh_rows.append(mh.band_hashes(sig, bands))
         if not ids_out:
-            return pd.DataFrame(
+            return pa.table(
                 {
-                    id_col: pd.array([], dtype="int64"),
-                    "band": pd.array([], dtype="int64"),
-                    "band_hash": pd.array([], dtype="int64"),
+                    id_col: pa.array([], pa.int64()),
+                    "band": pa.array([], pa.int64()),
+                    "band_hash": pa.array([], pa.int64()),
                 }
             )
         bh = np.stack(bh_rows)
-        return pd.DataFrame(
+        return pa.table(
             {
-                id_col: np.repeat(np.asarray(ids_out, np.int64), bands),
-                "band": np.tile(np.arange(bands, dtype=np.int64), len(ids_out)),
-                "band_hash": bh.reshape(-1).view(np.int64),
+                id_col: pa.array(np.repeat(np.asarray(ids_out, np.int64), bands)),
+                "band": pa.array(
+                    np.tile(np.arange(bands, dtype=np.int64), len(ids_out))
+                ),
+                "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
             }
         )
 
