@@ -253,6 +253,16 @@ def dedup_embedding_lsh(sf_dir: str):
     return embedding_neardup_lsh_stats(ds, threshold=0.95)
 
 
+@register("corpus_dedup_pipeline")  # rows-only (LSH component is approximate)
+def corpus_dedup_pipeline(sf_dir: str):
+    """The dedup pipeline a training-data team actually runs, end to end
+    (see stages.dedup.dedup_corpus for the scale shape)."""
+    from ..stages.dedup import dedup_corpus
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return dedup_corpus(ds, threshold=0.8)
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------

@@ -488,6 +488,39 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 threshold: float = 0.8, n_buckets: int = 32):
+    """End-to-end corpus dedup: exact (content-hash first-wins) then
+    near-dup removal (minhash candidates -> distributed exact-Jaccard
+    verify; the larger id of each verified pair drops). Returns the
+    surviving ids.
+
+    Scale shape: exact-dedup survivors attach via a bucketed hash join
+    (never a driver id set of the corpus); only the VERIFIED near-dup
+    pair list — small by construction — is collected and broadcast for
+    the final anti-filter."""
+    import pyarrow.compute as pc
+
+    from ..functions.joins import broadcast_anti_filter, bucketed_hash_join
+
+    acts = exact_dedup_actions(ds, id_col, text_col, n_buckets=n_buckets)
+    kept = acts.map_batches(
+        lambda t: t.filter(pc.equal(t["action"], "kept")).select([id_col]),
+        batch_format="pyarrow",
+    )
+    docs_kept = bucketed_hash_join(kept, ds.select_columns([id_col, text_col]),
+                                   id_col, n_buckets=n_buckets)
+    pairs = minhash_lsh_pairs(
+        docs_kept, id_col=id_col, text_col=text_col, threshold=threshold,
+        n_buckets=n_buckets,
+    )
+    drop = set(pairs.to_pandas().get("b", []))
+    keep_ds = docs_kept.select_columns([id_col])
+    if not drop:
+        return keep_ds
+    return broadcast_anti_filter(keep_ds, id_col, drop)
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

@@ -96,6 +96,15 @@ def test_ngram_jaccard_pairs(docs_ds):
     assert (0, 1) in found and (0, 2) in found
 
 
+def test_dedup_corpus_end_to_end(docs_ds):
+    """Exact dup 1 (of 0) and near dup 2 (of 0) both drop; 0/3/4 survive."""
+    from docling_service_ray.stages.dedup import dedup_corpus
+
+    ds, _ = docs_ds
+    survivors = sorted(dedup_corpus(ds, threshold=0.5).to_pandas()["doc_id"])
+    assert survivors == [0, 3, 4]
+
+
 @pytest.fixture(scope="module")
 def emb_ds(ray_session):
     import ray.data as rd

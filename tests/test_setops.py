@@ -36,6 +36,31 @@ def test_except_keys(ab):
     assert sorted(except_keys(b, a, "k").to_pandas()["k"]) == [6, 7]
 
 
+def test_setops_randomized_vs_python_sets(ray_session):
+    """Seeded random multisets: distributed results must equal Python set
+    algebra exactly (duplicates, disjoint, nested, negative keys)."""
+    import ray.data as rd
+
+    from docling_service_ray.functions.setops import (
+        except_keys,
+        intersect,
+        union_distinct,
+    )
+
+    rng = np.random.default_rng(1234)
+    for trial in range(4):
+        xs = rng.integers(-50, 50, size=rng.integers(1, 200)).tolist()
+        ys = rng.integers(-50, 50, size=rng.integers(1, 200)).tolist()
+        a = rd.from_items([{"k": int(v)} for v in xs])
+        b = rd.from_items([{"k": int(v)} for v in ys])
+        sa, sb = set(xs), set(ys)
+        assert sorted(union_distinct(a, b, "k").to_pandas()["k"]) == sorted(sa | sb)
+        got_i = sorted(intersect(a, b, "k").to_pandas().get("k", []))
+        assert got_i == sorted(sa & sb)
+        got_e = sorted(except_keys(a, b, "k").to_pandas().get("k", []))
+        assert got_e == sorted(sa - sb)
+
+
 def test_kmv_sketch_accuracy(ray_session):
     """KMV estimate within ~10% at 8x the sketch size; exact below k."""
     import ray.data as rd
