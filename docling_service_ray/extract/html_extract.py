@@ -72,12 +72,23 @@ class _Node:
 
 
 class _Text:
-    __slots__ = ("data", "start", "end")
+    __slots__ = ("data", "start", "end", "norm")
 
     def __init__(self, data: str, start: int, end: int):
         self.data = data
         self.start = start
         self.end = end
+        self.norm = None  # lazy whitespace-collapsed strip (see _norm)
+
+
+def _norm(t: _Text) -> str:
+    """Whitespace-collapsed, stripped text of a node — computed once
+    (measure_tree and block emission both need it)."""
+    v = t.norm
+    if v is None:
+        v = _WS_RE.sub(" ", t.data).strip()
+        t.norm = v
+    return v
 
 
 class _DomBuilder(HTMLParser):
@@ -156,10 +167,281 @@ class _DomBuilder(HTMLParser):
         return self.root
 
 
-def parse_html(src: str, strict: bool) -> _Node:
-    b = _DomBuilder(src, strict)
-    b.feed(src)
-    return b.finish()
+class _FastDomBuilder:
+    """Single-pass scanner building the same DOM as ``_DomBuilder``, with
+    byte-identical node boundaries and offsets — but without html.parser's
+    per-chunk position bookkeeping and method dispatch (measured ~56% of
+    the extraction kernel).
+
+    It clones the exact decision branches of CPython's
+    ``html.parser.HTMLParser.goahead`` (including the feed()+close()
+    two-phase bail semantics) for the constructs it accepts; sources
+    containing ``<!`` or ``<?`` (comments, doctypes, marked sections,
+    processing instructions) are routed by :func:`parse_html` to the
+    stdlib-backed builder instead. Equivalence between the two is
+    enforced by fixture-corpus and property tests
+    (tests/test_extract_fuzz.py: fast-vs-stdlib A/B over adversarial
+    soup, random unicode, and the synthetic corpus).
+    """
+
+    def __init__(self, src: str, strict: bool):
+        self.src = src
+        self.strict = strict
+        self.root = _Node("#root")
+        self.cur = self.root
+
+    # -- tree actions (mirror _DomBuilder) -----------------------------------
+    def _start(self, tag: str):
+        if tag in VOID_TAGS:
+            self.cur.children.append(_Node(tag, None, self.cur))
+            return
+        node = _Node(tag, None, self.cur)
+        self.cur.children.append(node)
+        self.cur = node
+
+    def _startend(self, tag: str):
+        self.cur.children.append(_Node(tag, None, self.cur))
+
+    def _end(self, tag: str):
+        if tag in VOID_TAGS:
+            return
+        node = self.cur
+        while node is not self.root and node.tag != tag:
+            node = node.parent
+        if node is self.root:
+            if self.strict:
+                raise StrictParseError(f"unmatched closing tag </{tag}>")
+            return
+        if self.strict and node is not self.cur:
+            raise StrictParseError(f"mis-nested closing tag </{tag}>")
+        self.cur = node.parent
+
+    def _text(self, data: str, start: int, end: int):
+        self.cur.children.append(_Text(data, start, end))
+
+    def _entityref(self, name: str, start: int):
+        ch = _ENTITY_MAP.get(name, f"&{name};")
+        self._text(ch, start, start + len(name) + 2)
+
+    def _charref(self, name: str, start: int):
+        try:
+            cp = int(name[1:], 16) if name.lower().startswith("x") else int(name)
+            ch = chr(cp)
+        except ValueError:
+            ch = f"&#{name};"
+        self._text(ch, start, start + len(name) + 3)
+
+    # -- scanner (clones html.parser goahead; feed(src)+close() semantics) --
+    def run(self) -> _Node:
+        """Stdlib ``feed(src)`` runs ``goahead(end=0)``; a bail (``break``)
+        leaves the remainder buffered and ``close()`` RE-SCANS it with
+        ``goahead(end=1)``. We emulate the two passes with an ``end`` flag:
+        a phase-0 bail flips the flag and continues scanning in place; a
+        phase-1 bail emits the untouched remainder verbatim (the stdlib
+        post-loop)."""
+        import html.parser as _hp
+
+        src = self.src
+        n = len(src)
+        i = 0
+        end = False
+        cdata_elem: str | None = None
+        interesting = _hp.interesting_normal
+        while i < n:
+            m = interesting.search(src, i)
+            if m:
+                j = m.start()
+            else:
+                if cdata_elem:
+                    # unterminated cdata content is swallowed (stdlib:
+                    # goahead breaks; post-loop skips when cdata_elem set)
+                    return self._finish()
+                j = n
+            if i < j:
+                self._text(src[i:j], i, j)
+            i = j
+            if i == n:
+                break
+            if src.startswith("<", i):
+                if _hp.starttagopen.match(src, i):
+                    k, cdata_elem = self._parse_starttag(i, cdata_elem)
+                    if cdata_elem:
+                        interesting = re.compile(
+                            r"</\s*%s\s*>" % cdata_elem, re.I
+                        )
+                elif src.startswith("</", i):
+                    k, cdata_elem = self._parse_endtag(i, cdata_elem)
+                    if cdata_elem is None:
+                        interesting = _hp.interesting_normal
+                elif i + 1 < n:
+                    self._text("<", i, i + 1)
+                    k = i + 1
+                elif not end:
+                    end = True
+                    continue
+                else:  # trailing '<': post-loop emits it
+                    self._text(src[i:n], i, n)
+                    return self._finish()
+                if k < 0:
+                    if not end:
+                        end = True
+                        continue  # re-process the construct in end mode
+                    # unterminated construct in end mode: emit up to the
+                    # next '>' (inclusive) / next '<' / one char, as data
+                    k = src.find(">", i + 1)
+                    if k < 0:
+                        k = src.find("<", i + 1)
+                        if k < 0:
+                            k = i + 1
+                    else:
+                        k += 1
+                    self._text(src[i:k], i, k)
+                i = k
+            elif src.startswith("&#", i):
+                m = _hp.charref.match(src, i)
+                if m:
+                    name = m.group()[2:-1]
+                    self._charref(name, i)
+                    k = m.end()
+                    if not src.startswith(";", k - 1):
+                        k -= 1
+                    i = k
+                    continue
+                if ";" in src[i:]:  # bail by consuming '&#'
+                    self._text(src[i : i + 2], i, i + 2)
+                    i += 2
+                    if not end:
+                        # phase-0 bail: close() re-scans the remainder
+                        end = True
+                        continue
+                elif not end:
+                    end = True
+                    continue  # re-enter this branch in end mode
+                if i < n:  # phase-1 bail: post-loop emits remainder
+                    self._text(src[i:n], i, n)
+                return self._finish()
+            else:  # '&'
+                m = _hp.entityref.match(src, i)
+                if m:
+                    self._entityref(m.group(1), i)
+                    k = m.end()
+                    if not src.startswith(";", k - 1):
+                        k -= 1
+                    i = k
+                    continue
+                m = _hp.incomplete.match(src, i)
+                if m:
+                    if not end:
+                        end = True
+                        continue
+                    if m.group() == src[i:]:
+                        i += 1  # trailing incomplete ref: '&' dropped
+                    if i < n:
+                        self._text(src[i:n], i, n)
+                    return self._finish()
+                elif i + 1 < n:
+                    self._text("&", i, i + 1)
+                    i += 1
+                elif not end:
+                    end = True
+                    continue
+                else:  # trailing lone '&': post-loop emits it
+                    self._text(src[i:n], i, n)
+                    return self._finish()
+        return self._finish()
+
+    def _parse_starttag(self, i: int, cdata_elem):
+        import html.parser as _hp
+
+        src = self.src
+        endpos = self._whole_start_tag(i)
+        if endpos < 0:
+            return -1, cdata_elem
+        m = _hp.tagfind_tolerant.match(src, i + 1)
+        tag = m.group(1).lower()
+        k = m.end()
+        while k < endpos:  # attribute scan fixes k for the junk-tail check
+            am = _hp.attrfind_tolerant.match(src, k)
+            if not am:
+                break
+            k = am.end()
+        end = src[k:endpos].strip()
+        if end not in (">", "/>"):
+            self._text(src[i:endpos], i, endpos)
+            return endpos, cdata_elem
+        if end.endswith("/>"):
+            self._startend(tag)
+        else:
+            self._start(tag)
+            if tag in _hp.HTMLParser.CDATA_CONTENT_ELEMENTS:
+                return endpos, tag
+        return endpos, cdata_elem
+
+    def _whole_start_tag(self, i: int) -> int:
+        import html.parser as _hp
+
+        src = self.src
+        m = _hp.locatestarttagend_tolerant.match(src, i)
+        j = m.end()
+        nxt = src[j : j + 1]
+        if nxt == ">":
+            return j + 1
+        if nxt == "/":
+            if src.startswith("/>", j):
+                return j + 2
+            return -1 if src.startswith("/", j) else (j if j > i else i + 1)
+        if nxt == "":
+            return -1
+        if nxt in "abcdefghijklmnopqrstuvwxyz=/ABCDEFGHIJKLMNOPQRSTUVWXYZ":
+            return -1
+        return j if j > i else i + 1
+
+    def _parse_endtag(self, i: int, cdata_elem):
+        import html.parser as _hp
+
+        src = self.src
+        m = _hp.endendtag.search(src, i + 1)
+        if not m:
+            return -1, cdata_elem
+        gtpos = m.end()
+        m = _hp.endtagfind.match(src, i)
+        if not m:
+            if cdata_elem is not None:
+                self._text(src[i:gtpos], i, gtpos)
+                return gtpos, cdata_elem
+            nm = _hp.tagfind_tolerant.match(src, i + 2)
+            if not nm:
+                if src[i : i + 3] == "</>":
+                    return i + 3, cdata_elem
+                # bogus comment: consume to '>' (handle_comment is a no-op)
+                pos = src.find(">", i + 2)
+                return (-1 if pos == -1 else pos + 1), cdata_elem
+            tagname = nm.group(1).lower()
+            gtpos = src.find(">", nm.end())
+            self._end(tagname)
+            return gtpos + 1, cdata_elem
+        elem = m.group(1).lower()
+        if cdata_elem is not None and elem != cdata_elem:
+            self._text(src[i:gtpos], i, gtpos)
+            return gtpos, cdata_elem
+        self._end(elem)
+        return gtpos, None
+
+    def _finish(self) -> _Node:
+        if self.strict and self.cur is not self.root:
+            raise StrictParseError(f"unclosed tag <{self.cur.tag}>")
+        return self.root
+
+
+def parse_html(src: str, strict: bool, impl: str = "auto") -> _Node:
+    """DOM parse. ``impl``: "auto" uses the fast scanner unless the source
+    contains constructs it refuses (``<!``/``<?``); "fast"/"stdlib" force a
+    path (tests compare the two for equivalence)."""
+    if impl == "stdlib" or (impl == "auto" and ("<!" in src or "<?" in src)):
+        b = _DomBuilder(src, strict)
+        b.feed(src)
+        return b.finish()
+    return _FastDomBuilder(src, strict).run()
 
 
 # --- tree measurement -------------------------------------------------------
@@ -180,7 +462,7 @@ def _iter_text(node) -> list:
 
 
 def _text_len(node) -> int:
-    return sum(len(_WS_RE.sub(" ", t.data).strip()) for t in _iter_text(node))
+    return sum(len(_norm(t)) for t in _iter_text(node))
 
 
 def _link_text_len(node) -> int:
@@ -216,7 +498,7 @@ def measure_tree(root: _Node) -> dict:
 
     def walk(n) -> tuple:
         if isinstance(n, _Text):
-            return (len(_WS_RE.sub(" ", n.data).strip()), 0)
+            return (len(_norm(n)), 0)
         if n.tag in STRIP_TAGS:
             sizes[id(n)] = (0, 0)
             return (0, 0)
@@ -419,7 +701,7 @@ class BlockCollector:
 
     def walk(self, node) -> None:
         if isinstance(node, _Text):
-            txt = _WS_RE.sub(" ", node.data).strip()
+            txt = _norm(node)
             if txt:
                 if len(txt) < MIN_BLOCK_CHARS:
                     self.n_stripped += 1

@@ -41,3 +41,62 @@ def test_malformed_html_soup(text):
     r = extract_turn("<html><body>" + text)
     assert r.n_blocks == len([b for b in r.extracted_text.split("\n\n") if b]) or r.n_blocks >= 0
     assert extract_turn("<html><body>" + text).extracted_text == r.extracted_text
+
+
+# --- fast-scanner vs stdlib-parser equivalence ------------------------------
+
+def _tree_sig(node):
+    """Serialize a DOM tree to a comparable structure."""
+    from docling_service_ray.extract.html_extract import _Text
+
+    if isinstance(node, _Text):
+        return ("#text", node.data, node.start, node.end)
+    return (node.tag, tuple(_tree_sig(c) for c in node.children))
+
+
+def _parse_both(src, strict):
+    from docling_service_ray.extract.html_extract import (
+        StrictParseError,
+        parse_html,
+    )
+
+    out = []
+    for impl in ("fast", "stdlib"):
+        try:
+            out.append(("ok", _tree_sig(parse_html(src, strict, impl=impl))))
+        except StrictParseError as exc:
+            out.append(("strict_error", str(exc)))
+    return out
+
+
+@given(_any_text)
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_equals_stdlib_lenient(text):
+    a, b = _parse_both(text, strict=False)
+    assert a == b
+
+
+@given(_any_text)
+@settings(max_examples=300, deadline=None)
+def test_fast_parser_equals_stdlib_strict(text):
+    a, b = _parse_both(text, strict=True)
+    # both must fail or both must succeed with the identical tree; the
+    # strict error MESSAGE may name a different tag only if failure modes
+    # differ - require full equality
+    assert a == b
+
+
+def test_fast_parser_equals_stdlib_on_fixture_corpus():
+    from docling_service_ray.transcripts import turn_text
+
+    n_html = 0
+    for conv in range(120):
+        for turn in range(8):
+            src = turn_text(conv, turn)
+            if "<" not in src:
+                continue
+            n_html += 1
+            for strict in (False, True):
+                a, b = _parse_both(src, strict)
+                assert a == b, (conv, turn, strict)
+    assert n_html > 100  # the sweep actually exercised HTML turns
