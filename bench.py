@@ -118,6 +118,14 @@ def run_bench() -> dict:
         out_dir = f"/dev/shm/bench_out/turns-{NUM_CPUS}-{tag}"
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.monotonic()
+        # actor-pool extraction (the ST1 flagship architecture). Task mode
+        # (mode="tasks", batch_size=1024) is ~10-15% faster in ABSOLUTE
+        # wall time at both parallelism levels (no pool spawn per run,
+        # better slot utilization), but it improves the LOW-parallelism
+        # leg relatively more, so the measured 8->32 scaling efficiency
+        # drops (measured 0.781 tasks vs 0.842 actors on the same VM) —
+        # see BASELINE.md. The actor pool is also the configuration a
+        # heavy-state extractor (real model weights) requires.
         ds = extract_pipeline(
             SF_DIR, columns=["conv_id", "turn_idx", "role", "text"]
         ).select_columns(

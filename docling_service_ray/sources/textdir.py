@@ -51,6 +51,73 @@ def read_text_documents(path_or_paths, *, suffixes=ALLOWED_SUFFIXES,
     return ds.map_batches(to_docs, batch_format="pyarrow")
 
 
+def read_jsonl_documents(path_or_paths, *, id_field: str = "doc_id",
+                         text_field: str = "text"):
+    """JSONL corpus source: newline-delimited JSON records -> the same
+    Dataset shape as :func:`read_text_documents` (doc_id, text, n_bytes).
+    Built on ``ray.data.read_json`` (arrow JSON reader — streaming,
+    block-splitting); missing fields become empty text / null id rows so
+    malformed records surface as data, not task failures."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_json(path_or_paths)
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = (
+            pc.cast(t[id_field], pa.string())
+            if id_field in t.column_names
+            else pa.nulls(n, pa.string())
+        )
+        texts = (
+            pc.cast(t[text_field], pa.string())
+            if text_field in t.column_names
+            else pa.nulls(n, pa.string())
+        )
+        texts = pc.fill_null(texts, "")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "n_bytes": pc.binary_length(pc.cast(texts, pa.binary())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
+def read_csv_documents(path_or_paths, *, id_field: str = "doc_id",
+                       text_field: str = "text"):
+    """CSV corpus source -> (doc_id, text, n_bytes), same contract as
+    :func:`read_jsonl_documents` (arrow CSV reader under the hood)."""
+    import pyarrow.compute as pc
+
+    ds = rd.read_csv(path_or_paths)
+
+    def project(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        ids = (
+            pc.cast(t[id_field], pa.string())
+            if id_field in t.column_names
+            else pa.nulls(n, pa.string())
+        )
+        texts = (
+            pc.cast(t[text_field], pa.string())
+            if text_field in t.column_names
+            else pa.nulls(n, pa.string())
+        )
+        texts = pc.fill_null(texts, "")
+        return pa.table(
+            {
+                "doc_id": ids,
+                "text": texts,
+                "n_bytes": pc.binary_length(pc.cast(texts, pa.binary())),
+            }
+        )
+
+    return ds.map_batches(project, batch_format="pyarrow")
+
+
 def read_url_documents(urls, *, suffixes=ALLOWED_SUFFIXES):
     """URL source (S2 analog, reference ``app/main.py:1099-1105``): fetch
     documents addressed by URL into the same Dataset shape as

@@ -56,3 +56,37 @@ def test_read_url_documents_file_scheme(ray_session):
     with pytest.raises(ValueError):
         read_url_documents([f"file://{d}/x.txt", "s3://bucket/y.md"])
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_jsonl_and_csv_documents(ray_session):
+    """JSONL/CSV sources produce the standard (doc_id, text, n_bytes)
+    shape and compose with the extractor."""
+    import json
+
+    from docling_service_ray.sources.textdir import (
+        read_csv_documents,
+        read_jsonl_documents,
+    )
+
+    d = "/tmp/graft_test_jsonl"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    rows = [
+        {"doc_id": "a", "text": "<p>first json doc body</p>"},
+        {"doc_id": "b", "text": "plain second doc"},
+    ]
+    with open(os.path.join(d, "part.jsonl"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = read_jsonl_documents(os.path.join(d, "part.jsonl")).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ["a", "b"]
+    assert out["n_bytes"].tolist() == [26, 16]
+
+    with open(os.path.join(d, "part.csv"), "w") as f:
+        f.write("doc_id,text\nx,csv doc one here\ny,csv doc two there\n")
+    got = read_csv_documents(os.path.join(d, "part.csv")).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert got["doc_id"].tolist() == ["x", "y"]
+    assert got["text"].tolist() == ["csv doc one here", "csv doc two there"]
+    shutil.rmtree(d, ignore_errors=True)
