@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "orders_by_nation",
     "hourly_windows",
     "session_windows",
+    "sliding_windows",
     "stitch_events",
     "top3_orders_per_customer",
     "dedup_exact",

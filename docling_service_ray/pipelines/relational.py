@@ -797,6 +797,48 @@ def session_windows(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# streaming-analog: sliding (hopping) windows — width 2h, hop 1h: every
+# event lands in TWO windows; emitted vectorized per batch (row doubling),
+# pre-bucketed aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_windows",
+    "SELECT user_id, window_idx, COUNT(*) AS n_events FROM ("
+    "SELECT user_id, epoch_us(ts) // 3600000000 AS window_idx FROM events "
+    "UNION ALL "
+    "SELECT user_id, epoch_us(ts) // 3600000000 - 1 AS window_idx FROM events"
+    ") GROUP BY user_id, window_idx",
+)
+def sliding_windows(sf_dir: str):
+    """Hopping windows (width 2 h, hop 1 h): window w spans
+    [w*1h, w*1h + 2h), so an event at hour h belongs to windows h and
+    h-1. The duplication happens VECTORIZED inside the batch (one
+    np.concatenate, no flat_map row dispatch) before the bucketed
+    aggregation."""
+    from ..functions.agg import bucketed_group_agg
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts"])
+
+    def explode(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = us // 3_600_000_000
+        users = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([users, users])),
+                "window_idx": pa.array(np.concatenate([hour, hour - 1])),
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow", batch_size=65536)
+    return bucketed_group_agg(
+        exploded,
+        ["user_id", "window_idx"],
+        {"n_events": ("window_idx", "size")},
+    )
+
+
+# ---------------------------------------------------------------------------
 # streaming-analog: tumbling hourly windows per user (integer bucket math)
 # ---------------------------------------------------------------------------
 @register(
