@@ -554,6 +554,54 @@ def multimodal_meta(sf_dir: str):
     return filtered.map_batches(project, batch_format="pandas")
 
 
+@register("multimodal_features")  # rows-only (binary payload featurization)
+def multimodal_features(sf_dir: str):
+    """Full multimodal chain: attach payload -> decode -> size/zone
+    filter -> per-payload feature vector (64-dim byte histogram, the
+    deterministic stand-in for a visual encoder) -> scalar projection.
+    All stages are the real Ray plumbing (actor pools, binary columns,
+    list<float> features); only the codec/model inner step is a fake."""
+    import numpy as np
+
+    from ..stages.multimodal import (
+        DecodeImage,
+        FeatureExtract,
+        ResizeFilter,
+        attach_payload_batch,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = ds.map_batches(
+        attach_payload_batch, batch_format="pyarrow", batch_size=256
+    )
+    decoded = with_payload.map_batches(
+        DecodeImage, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    )
+    filtered = decoded.map_batches(
+        ResizeFilter, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    )
+    feats = filtered.map_batches(
+        FeatureExtract, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    )
+
+    def project(batch: pd.DataFrame) -> pd.DataFrame:
+        f = [np.asarray(v) for v in batch["features"]]
+        return pd.DataFrame(
+            {
+                "doc_id": batch["doc_id"].astype("int64"),
+                "top_bin": pd.array([int(v.argmax()) for v in f], dtype="int64"),
+                "n_nonzero": pd.array(
+                    [int((v > 0).sum()) for v in f], dtype="int64"
+                ),
+            }
+        )
+
+    return feats.map_batches(project, batch_format="pandas")
+
+
 # ---------------------------------------------------------------------------
 # flagship transcript pipelines (non-SQL-expressible: custom extractor)
 # ---------------------------------------------------------------------------

@@ -135,6 +135,37 @@ class ResizeFilter:
         return batch.filter(pa.array(keep))
 
 
+class FeatureExtract:
+    """Actor-pool feature extraction over binary payloads: a 64-bin byte
+    histogram, L1-normalized — a real, deterministic, fully vectorized
+    stand-in for a visual-embedding model (the model slot is the actor;
+    swap ``features_of`` for a real encoder + ``num_gpus`` when codec/
+    model libs exist). Output: ``features: list<float>`` (fixed dim),
+    ready for the ANN / embedding-dedup stages."""
+
+    DIM = 64
+
+    def __init__(self):
+        # per-actor state: the bin mapping (a real model would load
+        # weights here, once per actor — ST1 pattern)
+        self.bins = np.arange(257) * self.DIM // 256
+
+    def features_of(self, payload: bytes) -> np.ndarray:
+        if not payload:
+            return np.zeros(self.DIM, dtype=np.float32)
+        raw = np.frombuffer(payload, dtype=np.uint8)
+        hist = np.bincount(self.bins[raw], minlength=self.DIM).astype(np.float32)
+        total = hist.sum()
+        return hist / total if total else hist
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [self.features_of(p) for p in batch["payload"].to_pylist()]
+        return batch.append_column(
+            "features",
+            pa.array([f.tolist() for f in feats], pa.list_(pa.float32())),
+        )
+
+
 def sample_frames_batch(batch: pa.Table, every_n_bytes: int = 4096,
                         max_frames: int = 8) -> pa.Table:
     """'Video' frame sampling stub: deterministic byte-offset sampling of a
