@@ -67,7 +67,10 @@ def bucket_column(tbl: pa.Table, key: str, n_buckets: int,
             )
             out.append(pa.array(bmap[d.indices.to_numpy(zero_copy_only=False)]))
     arr = pa.chunked_array(out) if len(out) > 1 else out[0]
-    return tbl.append_column(col_name, arr)
+    # drop schema metadata (the pandas dict blob breaks Ray's block-schema
+    # hashing and spams 'Failed to hash the schemas' in every reduce task);
+    # bucket_column fronts every explicit shuffle, so this is the one place
+    return tbl.append_column(col_name, arr).replace_schema_metadata(None)
 
 
 def stable_seed(*parts) -> np.random.Generator:
