@@ -424,6 +424,83 @@ def token_histogram(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# corpus-frequency rarity scoring (two-pass: vocab build + doc scoring)
+# ---------------------------------------------------------------------------
+@register(
+    "token_rarity",
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word "
+    "FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''), "
+    "v AS (SELECT word, COUNT(*) AS c FROM tok GROUP BY word) "
+    "SELECT t.doc_id, CAST(SUM(v.c) AS BIGINT) AS rarity_sum "
+    "FROM tok t JOIN v USING (word) GROUP BY t.doc_id",
+)
+def token_rarity(sf_dir: str):
+    """Per-document corpus-frequency mass: for every token instance, add
+    the corpus-wide count of that token (low sum per token = rare
+    vocabulary — a training-data quality/novelty signal). Exact integers
+    end to end.
+
+    Scale shape: token instances collapse to (doc_id, word, n) per batch
+    BEFORE any shuffle; the vocabulary is built by a word-keyed
+    aggregation; doc scoring joins the collapsed doc-tokens to the vocab
+    through the bucketed hash join (word is the only co-location key —
+    the corpus text itself never re-shuffles) and re-aggregates per doc.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.joins import bucketed_hash_join
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def doc_tokens(batch: pd.DataFrame) -> pa.Table:
+        s = batch.set_index("doc_id")["text"].fillna("").str.strip()
+        s = s[s != ""]
+        exploded = s.str.split(r"\s+").explode()
+        vc = (
+            exploded.groupby([exploded.index, exploded.to_numpy()])
+            .size()
+            .reset_index()
+        )
+        vc.columns = ["doc_id", "word", "n"]
+        return pa.table(
+            {
+                "doc_id": pa.array(vc["doc_id"].to_numpy().astype(np.int64)),
+                "word": pa.array(vc["word"].astype(str).tolist(), pa.string()),
+                "n": pa.array(vc["n"].to_numpy().astype(np.int64)),
+            }
+        )
+
+    doc_word = ds.map_batches(doc_tokens, batch_format="pandas")
+    # vocabulary: total count per word (pre-collapsed input, word-keyed agg)
+    vocab = bucketed_group_agg(
+        doc_word.select_columns(["word", "n"]),
+        ["word"],
+        {"c": ("n", "sum")},
+        n_buckets=32,
+    )
+    joined = bucketed_hash_join(doc_word, vocab, "word", n_buckets=32)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        c = batch["c"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "partial": pa.array((n * c).astype(np.int64)),
+            }
+        )
+
+    partials = joined.map_batches(score, batch_format="pyarrow")
+    out = partials.groupby("doc_id").aggregate(
+        Sum("partial", alias_name="rarity_sum")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
 # distinct counting: exact (distributed pre-agg) + KMV sketch (scale path)
 # ---------------------------------------------------------------------------
 @register(
