@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "quality_scores",
     "set_intersect",
     "distinct_token_count",
+    "token_rarity",
     "langid",
     "token_counts",
     "token_histogram",
