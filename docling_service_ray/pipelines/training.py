@@ -117,6 +117,33 @@ def quality_scores(sf_dir: str):
 
 
 @register(
+    "pii_scrub",
+    "SELECT event_id, "
+    "regexp_replace(regexp_replace(props, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{2,}', '<NUM>', 'g') AS scrubbed, "
+    "CAST(len(regexp_extract_all(props, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails, "
+    "CAST(len(regexp_extract_all(regexp_replace(props, "
+    "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), "
+    "'[0-9]{2,}')) AS BIGINT) AS n_numruns FROM events",
+)
+def pii_scrub(sf_dir: str):
+    """PII-style redaction over a text column (emails -> <EMAIL>, digit
+    runs -> <NUM>) with per-row redaction counts — vectorized pandas str
+    kernels, byte-exact SQL mirror."""
+    from ..stages.text_analysis import scrub_batch
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "props"])
+
+    def run(batch: pd.DataFrame) -> pd.DataFrame:
+        out = scrub_batch(batch, text_col="props")
+        return out[["event_id", "scrubbed", "n_emails", "n_numruns"]]
+
+    return ds.map_batches(run, batch_format="pandas")
+
+
+@register(
     "langid",
     # exact SQL mirror of LangId.classify: same tokenizer char class, same
     # stopword profiles, same CJK-ratio gate, same first-wins tie order

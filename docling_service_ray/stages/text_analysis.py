@@ -103,6 +103,32 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     return out
 
 
+# --- PII-style scrubbing (vectorized redaction) ------------------------------
+
+# dialect-portable patterns (identical semantics in Python re and RE2, so
+# the DuckDB oracle reproduces the transform byte-for-byte)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+NUMRUN_RE = r"[0-9]{2,}"
+
+
+def scrub_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """Redact email addresses and digit runs (the shape of a PII-scrub
+    stage for training corpora): emails -> ``<EMAIL>``, digit runs of 2+
+    -> ``<NUM>``, plus redaction counts per row. All pandas str kernels.
+    SQL mirror: regexp_replace(...,'g') chain + length-delta counts.
+    """
+    s = batch[text_col].fillna("")
+    n_emails = s.str.count(EMAIL_RE).astype("int64")
+    no_email = s.str.replace(EMAIL_RE, "<EMAIL>", regex=True)
+    n_nums = no_email.str.count(NUMRUN_RE).astype("int64")
+    scrubbed = no_email.str.replace(NUMRUN_RE, "<NUM>", regex=True)
+    out = batch.copy()
+    out["scrubbed"] = scrubbed
+    out["n_emails"] = n_emails
+    out["n_numruns"] = n_nums
+    return out
+
+
 # --- language id (heuristic; stateful actor) --------------------------------
 
 _LANG_PROFILES = {

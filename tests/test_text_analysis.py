@@ -66,3 +66,28 @@ def test_quality_scores():
     # empty text: all components zero, no division errors
     assert q.loc[2, "quality_pm"] == 0
     assert (out[["space_pm", "digit_pm", "stopword_pm", "quality_pm"]].dtypes == "int64").all()
+
+
+def test_pii_scrub():
+    import pandas as pd
+
+    from docling_service_ray.stages.text_analysis import scrub_batch
+
+    out = scrub_batch(
+        pd.DataFrame(
+            {
+                "text": [
+                    "contact alice.smith+x@example.co.uk or call 555123456",
+                    "no pii here at all",
+                    "ids 12 345 6789 and bob@x.io",
+                ]
+            }
+        )
+    )
+    assert out["scrubbed"].tolist() == [
+        "contact <EMAIL> or call <NUM>",
+        "no pii here at all",
+        "ids <NUM> <NUM> <NUM> and <EMAIL>",
+    ]
+    assert out["n_emails"].tolist() == [1, 0, 1]
+    assert out["n_numruns"].tolist() == [1, 0, 3]
