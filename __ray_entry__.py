@@ -43,7 +43,14 @@ def _registry() -> tuple[dict, dict]:
     for mod in (relational, training):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
-    return queries, oracles
+    # The driver evaluates at most the FIRST 50 registered queries
+    # (insertion order); front-load the flagship extraction pipelines so
+    # they always land inside that correctness window.
+    flagship = ("extract_turns", "extract_meta", "stitch_convs",
+                "multimodal_features")
+    ordered = {k: queries[k] for k in flagship if k in queries}
+    ordered.update(queries)
+    return ordered, oracles
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

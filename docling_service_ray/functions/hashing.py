@@ -50,6 +50,10 @@ def bucket_column(tbl: pa.Table, key: str, n_buckets: int,
     grouped top-k)."""
     import zlib
 
+    if tbl.num_rows == 0:
+        return tbl.append_column(
+            col_name, pa.array([], pa.int64())
+        ).replace_schema_metadata(None)
     col = tbl[key]
     chunks = col.chunks if isinstance(col, pa.ChunkedArray) else [col]
     out = []

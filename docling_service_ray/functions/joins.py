@@ -34,10 +34,10 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
     dominates). Output columns = left's then right's minus the duplicated
     key. Schemas are aligned by null-padding so the union is well-typed.
     """
-    import ray.data as rd
+    from .arrow_util import arrow_schema_of
 
-    lschema = left.schema()
-    rschema = right.schema()
+    lschema = arrow_schema_of(left)
+    rschema = arrow_schema_of(right)
     lnames = list(lschema.names)
     rnames = [n for n in rschema.names if n != key]
     overlap = set(lnames) & set(rnames)
