@@ -79,7 +79,9 @@ def read_jsonl_documents(path_or_paths, *, id_field: str = "doc_id",
             {
                 "doc_id": ids,
                 "text": texts,
-                "n_bytes": pc.binary_length(pc.cast(texts, pa.binary())),
+                "n_bytes": pc.cast(
+                    pc.binary_length(pc.cast(texts, pa.binary())), pa.int64()
+                ),
             }
         )
 
@@ -111,7 +113,9 @@ def read_csv_documents(path_or_paths, *, id_field: str = "doc_id",
             {
                 "doc_id": ids,
                 "text": texts,
-                "n_bytes": pc.binary_length(pc.cast(texts, pa.binary())),
+                "n_bytes": pc.cast(
+                    pc.binary_length(pc.cast(texts, pa.binary())), pa.int64()
+                ),
             }
         )
 

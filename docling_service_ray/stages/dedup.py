@@ -34,6 +34,35 @@ from ..functions.hashing import hash64, stable_seed
 
 logger = logging.getLogger(__name__)
 
+
+def _id_arrow_type(ds, id_col: str) -> pa.DataType:
+    """Resolve and validate the id column's Arrow type.
+
+    The dedup chain is dtype-preserving for integer and string ids (the
+    two shapes the sources produce: parquet int64 doc_id, and
+    ``read_text_documents``-style path-string ids). Anything else fails
+    HERE, at the API boundary, with a clear message — not deep inside a
+    shuffle task."""
+    from ..functions.arrow_util import arrow_schema_of
+
+    typ = arrow_schema_of(ds).field(id_col).type
+    if pa.types.is_integer(typ):
+        return pa.int64()
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.large_string()
+    raise TypeError(
+        f"dedup id column {id_col!r} must be integer or string, got {typ} "
+        "(cast or re-key the dataset before deduplication)"
+    )
+
+
+def _ids_array(values, id_type: pa.DataType) -> pa.Array:
+    """numpy/object/list id values -> Arrow array of the declared id type."""
+    if isinstance(values, np.ndarray) and values.dtype == object:
+        values = values.tolist()
+    return pa.array(values, id_type)
+
+
 _MINHASHERS: dict = {}
 
 
@@ -79,9 +108,11 @@ def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text",
     265,303). One coarse hash-bucket groupby co-locates all rows of each
     content hash; canonical ids resolve with a single vectorized
     groupby-transform per bucket (a per-hash map_groups would pay one Ray
-    dispatch per distinct content — O(corpus) dispatches)."""
+    dispatch per distinct content — O(corpus) dispatches). Dtype-preserving
+    for integer and string ids (first-wins = min() either way)."""
     from ..functions.hashing import bucket_column
 
+    id_type = _id_arrow_type(ds, id_col)
     hashed = ds.map_batches(
         lambda b: add_md5_column(b, text_col)[[id_col, "content_hash"]],
         batch_format="pandas",
@@ -96,7 +127,7 @@ def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text",
         keep = df.groupby("content_hash")[id_col].transform("min")
         return pa.table(
             {
-                id_col: pa.array(df[id_col].to_numpy().astype(np.int64)),
+                id_col: _ids_array(df[id_col].to_numpy(), id_type),
                 "action": pa.array(
                     np.where(df[id_col] == keep, "kept", "deduplicated"),
                     pa.string(),
@@ -221,7 +252,7 @@ def jaccard_word_ngrams(a: str, b: str, n: int = 3) -> float:
 
 
 def candidate_pairs(banded, *, id_col: str, max_bucket: int,
-                    n_buckets: int = 64):
+                    n_buckets: int = 64, id_type: pa.DataType = pa.int64()):
     """(band, band_hash, id) rows -> candidate (a, b) pairs.
 
     A naive ``groupby([band, band_hash]).map_groups`` pays one Ray
@@ -265,26 +296,34 @@ def candidate_pairs(banded, *, id_col: str, max_bucket: int,
             out_b.append(ids[ib])
         if not out_a:
             return pa.table(
-                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())}
+                {"a": pa.array([], id_type), "b": pa.array([], id_type)}
             )
         pairs = pd.DataFrame(
             {
-                "a": np.concatenate(out_a).astype(np.int64),
-                "b": np.concatenate(out_b).astype(np.int64),
+                "a": np.concatenate(out_a),
+                "b": np.concatenate(out_b),
             }
         ).drop_duplicates()
-        return table_from_pandas(pairs)
+        return pa.table(
+            {
+                "a": _ids_array(pairs["a"].to_numpy(), id_type),
+                "b": _ids_array(pairs["b"].to_numpy(), id_type),
+            }
+        )
 
     return bucketed.groupby("__cb").map_groups(
         pairs_bucket, batch_format="pyarrow"
     )
 
 
-_EMPTY_PAIRS = {
-    "a": pa.array([], pa.int64()),
-    "b": pa.array([], pa.int64()),
-    "jaccard_pct": pa.array([], pa.int64()),
-}
+def _empty_pairs(id_type: pa.DataType) -> pa.Table:
+    return pa.table(
+        {
+            "a": pa.array([], id_type),
+            "b": pa.array([], id_type),
+            "jaccard_pct": pa.array([], pa.int64()),
+        }
+    )
 
 
 def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
@@ -317,16 +356,18 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     from ..functions.hashing import bucket_column
     from ..functions.joins import broadcast_anti_filter
 
+    id_type = _id_arrow_type(text_ds, id_col)
+
     pairs = cand.map_batches(
         lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
         batch_format="pandas",
     ).materialize()
     if pairs.count() == 0:
-        return rd.from_arrow(pa.table(_EMPTY_PAIRS))
+        return rd.from_arrow(_empty_pairs(id_type))
 
     id_batches = pairs.map_batches(
         lambda df: pd.DataFrame(
-            {"id": pd.unique(pd.concat([df["a"], df["b"]]).astype("int64"))}
+            {"id": pd.unique(pd.concat([df["a"], df["b"]]))}
         ),
         batch_format="pandas",
     ).to_pandas()
@@ -338,14 +379,14 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     # aligned union schema: (id, a, b, text, side); sides split while still
     # Arrow in the bucket fns so null padding never upcasts int columns
     def pair_need_rows(df: pd.DataFrame) -> pa.Table:
-        a = df["a"].to_numpy().astype(np.int64)
-        b = df["b"].to_numpy().astype(np.int64)
+        a = df["a"].to_numpy()
+        b = df["b"].to_numpy()
         n = len(df)
         return pa.table(
             {
-                "id": pa.array(np.concatenate([a, b])),
-                "a": pa.array(np.concatenate([a, a])),
-                "b": pa.array(np.concatenate([b, b])),
+                "id": _ids_array(np.concatenate([a, b]), id_type),
+                "a": _ids_array(np.concatenate([a, a]), id_type),
+                "b": _ids_array(np.concatenate([b, b]), id_type),
                 "text": pa.nulls(2 * n, pa.string()),
                 "side": pa.array(
                     np.concatenate(
@@ -356,12 +397,14 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
         )
 
     def text_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         n = t.num_rows
         return pa.table(
             {
-                "id": pc_cast_int64(t[id_col]),
-                "a": pa.nulls(n, pa.int64()),
-                "b": pa.nulls(n, pa.int64()),
+                "id": pc.cast(t[id_col], id_type),
+                "a": pa.nulls(n, id_type),
+                "b": pa.nulls(n, id_type),
                 "text": pc_cast_string(t[text_col]),
                 "side": pa.array(np.full(n, 2, np.int8)),
             }
@@ -408,13 +451,13 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
         for a, b, x, y in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
             j = sim_fn(str(x), str(y))
             if j >= threshold:
-                out_a.append(int(a))
-                out_b.append(int(b))
+                out_a.append(a)
+                out_b.append(b)
                 out_j.append(int(j * 100))
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
+                "a": _ids_array(out_a, id_type),
+                "b": _ids_array(out_b, id_type),
                 "jaccard_pct": pa.array(out_j, pa.int64()),
             }
         )
@@ -422,12 +465,6 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     return by_pair.groupby("__vb").map_groups(
         verify_bucket, batch_format="pyarrow"
     )
-
-
-def pc_cast_int64(col):
-    import pyarrow.compute as pc
-
-    return pc.cast(col, pa.int64())
 
 
 def pc_cast_string(col):
@@ -456,8 +493,11 @@ def minhash_lsh_pairs(
 
     Fully distributed: the corpus text is never broadcast or collected;
     the driver holds only candidate ids. Returns a Dataset of
-    (a, b, jaccard_pct:int) with a < b.
+    (a, b, jaccard_pct:int) with a < b. Dtype-preserving for integer and
+    string ids.
     """
+    id_type = _id_arrow_type(ds, id_col)
+
     def band_emitter(batch: pd.DataFrame) -> pa.Table:
         # task pool (not actors): the hasher is memoized per worker
         # process, and tasks scale to every free CPU instead of an
@@ -470,8 +510,8 @@ def minhash_lsh_pairs(
             bh[i] = mh.band_hashes(mh.signature(str(t)), bands)
         return pa.table(
             {
-                id_col: pa.array(
-                    np.repeat(batch[id_col].to_numpy().astype(np.int64), bands)
+                id_col: _ids_array(
+                    np.repeat(batch[id_col].to_numpy(), bands), id_type
                 ),
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int64), n)),
                 "band_hash": pa.array(bh.reshape(-1).view(np.int64)),
@@ -480,7 +520,8 @@ def minhash_lsh_pairs(
 
     banded = ds.map_batches(band_emitter, batch_format="pandas")
     cand = candidate_pairs(
-        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets
+        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets,
+        id_type=id_type,
     )
     return verify_pairs_distributed(
         cand, ds, jaccard_word_ngrams, threshold,
@@ -496,12 +537,15 @@ def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
     surviving ids.
 
     Scale shape: exact-dedup survivors attach via a bucketed hash join
-    (never a driver id set of the corpus); only the VERIFIED near-dup
-    pair list — small by construction — is collected and broadcast for
-    the final anti-filter."""
+    (never a driver id set of the corpus), and the verified near-dup
+    drop-set is removed with a DISTRIBUTED bucketed anti-join
+    (``functions.setops.except_keys``) — nothing of unbounded cardinality
+    is ever collected on the driver, even on a pathological corpus where
+    almost every document has a near-duplicate."""
     import pyarrow.compute as pc
 
-    from ..functions.joins import broadcast_anti_filter, bucketed_hash_join
+    from ..functions.joins import bucketed_hash_join
+    from ..functions.setops import except_keys
 
     acts = exact_dedup_actions(ds, id_col, text_col, n_buckets=n_buckets)
     kept = acts.map_batches(
@@ -514,11 +558,11 @@ def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
         docs_kept, id_col=id_col, text_col=text_col, threshold=threshold,
         n_buckets=n_buckets,
     )
-    drop = set(pairs.to_pandas().get("b", []))
-    keep_ds = docs_kept.select_columns([id_col])
-    if not drop:
-        return keep_ds
-    return broadcast_anti_filter(keep_ds, id_col, drop)
+    drop_ds = pairs.map_batches(
+        lambda t: pa.table({id_col: t["b"]}), batch_format="pyarrow",
+    )
+    return except_keys(docs_kept.select_columns([id_col]), drop_ds, id_col,
+                       n_buckets=n_buckets)
 
 
 # ---------------------------------------------------------------------------
@@ -578,6 +622,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
     """
     from ..functions.hashing import bucket_column
 
+    id_type = _id_arrow_type(ds, id_col)
+
     def emit_bands(batch: pd.DataFrame) -> pa.Table:
         # unsigned reinterpretation via Python-int masking (stable across
         # NumPy versions; uint64(negative) raises on NumPy >= 2.0)
@@ -593,8 +639,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
             )
         return pa.table(
             {
-                id_col: pa.array(
-                    np.repeat(batch[id_col].to_numpy().astype(np.int64), 4)
+                id_col: _ids_array(
+                    np.repeat(batch[id_col].to_numpy(), 4), id_type
                 ),
                 "band": pa.array(np.tile(np.arange(4, dtype=np.int64), n)),
                 "key": pa.array(keys.reshape(-1)),
@@ -615,9 +661,7 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
         df = df[df.duplicated(["band", "key"], keep=False)]
         out_a, out_b, out_h = [], [], []
         for _, g in df.groupby(["band", "key"], sort=False):
-            rows = sorted(
-                set(zip((int(v) for v in g[id_col]), (int(v) for v in g["simhash"])))
-            )
+            rows = sorted(set(zip(g[id_col], (int(v) for v in g["simhash"]))))
             for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
                 if ia == ib:
                     continue
@@ -628,8 +672,8 @@ def simhash_pairs(ds, *, id_col: str = "doc_id", max_hamming: int = 3,
                     out_h.append(d)
         return pa.table(
             {
-                "a": pa.array(out_a, pa.int64()),
-                "b": pa.array(out_b, pa.int64()),
+                "a": _ids_array(out_a, id_type),
+                "b": _ids_array(out_b, id_type),
                 "hamming": pa.array(out_h, pa.int64()),
             }
         )
@@ -686,6 +730,7 @@ def ngram_jaccard_pairs(
     verify plan as :func:`minhash_lsh_pairs` (bucketed pair dedup +
     bucketed text join + batched verify; no corpus broadcast)."""
     num_perm, bands = 64, 16
+    id_type = _id_arrow_type(ds, id_col)
 
     def char_band_emitter(batch: pd.DataFrame) -> pd.DataFrame:
         # candidate generation hashes BYTE n-gram windows with one
@@ -703,12 +748,12 @@ def ngram_jaccard_pairs(
                 continue
             grams = np.unique(_window_combine(raw.astype(np.uint64), n))
             sig = _mod_mersenne(np.outer(a, grams) + b[:, None]).min(axis=1)
-            ids_out.append(int(i))
+            ids_out.append(i)
             bh_rows.append(mh.band_hashes(sig, bands))
         if not ids_out:
             return pa.table(
                 {
-                    id_col: pa.array([], pa.int64()),
+                    id_col: pa.array([], id_type),
                     "band": pa.array([], pa.int64()),
                     "band_hash": pa.array([], pa.int64()),
                 }
@@ -716,7 +761,9 @@ def ngram_jaccard_pairs(
         bh = np.stack(bh_rows)
         return pa.table(
             {
-                id_col: pa.array(np.repeat(np.asarray(ids_out, np.int64), bands)),
+                id_col: _ids_array(
+                    np.repeat(np.asarray(ids_out, dtype=object), bands), id_type
+                ),
                 "band": pa.array(
                     np.tile(np.arange(bands, dtype=np.int64), len(ids_out))
                 ),
@@ -726,7 +773,8 @@ def ngram_jaccard_pairs(
 
     banded = ds.map_batches(char_band_emitter, batch_format="pandas")
     cand = candidate_pairs(
-        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets
+        banded, id_col=id_col, max_bucket=max_bucket, n_buckets=n_buckets,
+        id_type=id_type,
     )
 
     def char_jaccard(x: str, y: str) -> float:

@@ -140,3 +140,79 @@ def test_embedding_dup_counts(emb_ds):
     counts = embedding_dup_counts(emb_ds, threshold=0.99).to_pandas()
     m = counts.set_index("vec_id")["n_dups"]
     assert m[0] == 1 and m[1] == 1 and m[5] == 0
+
+
+@pytest.fixture(scope="module")
+def string_id_docs(ray_session):
+    """read_text_documents-shaped corpus: doc_id is a path STRING (the
+    composition the dedup chain must accept without coercing to int)."""
+    import ray.data as rd
+
+    base = (
+        "string keyed documents flow through the dedup chain with their "
+        "identifiers preserved end to end across every shuffle " * 4
+    )
+    rows = [
+        {"doc_id": "uploads/a.txt", "text": base},
+        {"doc_id": "uploads/b.txt", "text": base},  # exact dup of a
+        {"doc_id": "uploads/c.txt", "text": base.replace("chain", "graph")},
+        {"doc_id": "uploads/d.txt", "text": "tiny unrelated note"},
+    ]
+    return rd.from_items(rows)
+
+
+def test_exact_dedup_actions_string_ids(string_id_docs):
+    from docling_service_ray.stages.dedup import exact_dedup_actions
+
+    acts = (
+        exact_dedup_actions(string_id_docs)
+        .to_pandas()
+        .set_index("doc_id")["action"]
+    )
+    assert acts["uploads/a.txt"] == "kept"  # first-wins = lexicographic min
+    assert acts["uploads/b.txt"] == "deduplicated"
+    assert acts["uploads/c.txt"] == acts["uploads/d.txt"] == "kept"
+
+
+def test_minhash_pairs_string_ids(string_id_docs):
+    from docling_service_ray.stages.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(string_id_docs, threshold=0.5).to_pandas()
+    found = set(zip(pairs["a"], pairs["b"]))
+    assert ("uploads/a.txt", "uploads/b.txt") in found
+    assert ("uploads/a.txt", "uploads/c.txt") in found
+    assert pairs["a"].dtype == object  # ids stay strings
+
+
+def test_simhash_and_ngram_string_ids(string_id_docs):
+    from docling_service_ray.stages.dedup import (
+        SimHasher,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    hashed = string_id_docs.map_batches(SimHasher(), batch_format="pandas")
+    sp = simhash_pairs(hashed).to_pandas()
+    assert ("uploads/a.txt", "uploads/b.txt") in set(zip(sp["a"], sp["b"]))
+
+    np_ = ngram_jaccard_pairs(string_id_docs, threshold=0.5).to_pandas()
+    assert ("uploads/a.txt", "uploads/b.txt") in set(zip(np_["a"], np_["b"]))
+
+
+def test_dedup_corpus_string_ids(string_id_docs):
+    from docling_service_ray.stages.dedup import dedup_corpus
+
+    kept = sorted(dedup_corpus(string_id_docs, threshold=0.5)
+                  .to_pandas()["doc_id"])
+    # b: exact dup of a; c: near dup of a (drops as the larger id)
+    assert kept == ["uploads/a.txt", "uploads/d.txt"]
+
+
+def test_dedup_rejects_unsupported_id_dtype(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import exact_dedup_actions
+
+    ds = rd.from_items([{"doc_id": 1.5, "text": "x"}])
+    with pytest.raises(TypeError, match="must be integer or string"):
+        exact_dedup_actions(ds)

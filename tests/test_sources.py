@@ -82,6 +82,8 @@ def test_read_jsonl_and_csv_documents(ray_session):
     out = out.sort_values("doc_id").reset_index(drop=True)
     assert out["doc_id"].tolist() == ["a", "b"]
     assert out["n_bytes"].tolist() == [26, 16]
+    # same Dataset-shape contract as read_text_documents: int64 n_bytes
+    assert str(out["n_bytes"].dtype) == "int64"
 
     with open(os.path.join(d, "part.csv"), "w") as f:
         f.write("doc_id,text\nx,csv doc one here\ny,csv doc two there\n")
@@ -89,4 +91,5 @@ def test_read_jsonl_and_csv_documents(ray_session):
     got = got.sort_values("doc_id").reset_index(drop=True)
     assert got["doc_id"].tolist() == ["x", "y"]
     assert got["text"].tolist() == ["csv doc one here", "csv doc two there"]
+    assert str(got["n_bytes"].dtype) == "int64"
     shutil.rmtree(d, ignore_errors=True)
