@@ -115,6 +115,69 @@ def broadcast_anti_filter(ds, key: str, key_set, *, keep_matches: bool = False):
     return ds.map_batches(filt, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def bucketed_semi_anti_join(left, right, key: str, *, right_key: str | None = None,
+                            keep_matches: bool = False, n_buckets: int = 64):
+    """Distributed semi/anti join: keep left rows whose ``key`` is (semi)
+    or is not (anti) present in ``right``'s key column — the scale path
+    when the probe side is too large for :func:`broadcast_anti_filter`'s
+    driver-collected set.
+
+    Plan: right is projected to per-batch-deduped keys; both sides are
+    hash-bucketed on the key and co-located with ONE groupby(bucket);
+    each bucket filters left's rows with a vectorized ``isin`` against
+    the bucket-local probe keys. Left's columns and dtypes pass through
+    unchanged.
+    """
+    import pyarrow.compute as pc
+
+    from .arrow_util import arrow_schema_of, table_from_pandas
+    from .hashing import bucket_column
+
+    rk = right_key or key
+    lschema = arrow_schema_of(left)
+    lnames = list(lschema.names)
+    _PROBE = "__probe_key"
+
+    def probe_rows(tbl: pa.Table) -> pa.Table:
+        keys = pa.table({_PROBE: tbl[rk].cast(lschema.field(key).type)})
+        df = keys.to_pandas().drop_duplicates()
+        out = table_from_pandas(df)
+        out = bucket_column(out, _PROBE, n_buckets, _BUCKET_COL)
+        n = out.num_rows
+        arrays = [pa.nulls(n, t) for t in lschema.types]
+        for name, arr in zip(lnames, arrays):
+            out = out.append_column(name, arr)
+        return out.append_column(_SIDE_COL, pa.array(np.full(n, 1, np.int8)))
+
+    def left_rows(tbl: pa.Table) -> pa.Table:
+        tbl = bucket_column(tbl.select(lnames), key, n_buckets, _BUCKET_COL)
+        n = tbl.num_rows
+        out = pa.table(
+            {_PROBE: pa.nulls(n, lschema.field(key).type),
+             _BUCKET_COL: tbl[_BUCKET_COL]}
+        )
+        for name in lnames:
+            out = out.append_column(name, tbl[name])
+        return out.append_column(_SIDE_COL, pa.array(np.full(n, 0, np.int8)))
+
+    tagged = left.map_batches(left_rows, batch_format="pyarrow").union(
+        right.map_batches(probe_rows, batch_format="pyarrow")
+    )
+
+    def filter_bucket(grp: pa.Table) -> pa.Table:
+        lmask = pc.equal(grp[_SIDE_COL], 0)
+        rows = grp.filter(lmask).select(lnames)
+        probe = grp.filter(pc.invert(lmask))[_PROBE]
+        mask = pc.is_in(rows[key], value_set=probe.combine_chunks())
+        if not keep_matches:
+            mask = pc.invert(mask)
+        return rows.filter(mask)
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        filter_bucket, batch_format="pyarrow"
+    )
+
+
 def grouped_topk(ds, group_key: str, order_col: str, k: int, *,
                  descending: bool = True, tiebreak_col: str | None = None,
                  n_buckets: int = 64):

@@ -511,7 +511,12 @@ BIG_ORDER_CENTS = 300_000 * 100
     f"AND CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) > {BIG_ORDER_CENTS})",
 )
 def anti_join_customers(sf_dir: str):
-    from ..functions.joins import broadcast_anti_filter
+    """NOT EXISTS probe done as the DISTRIBUTED bucketed anti-join: the
+    probe side (customers with a big order) is filtered per batch but
+    never collected into a driver set — at scale the predicate may be
+    unselective and the key set O(customers). broadcast_anti_filter
+    remains the right tool only for known-small probe sets."""
+    from ..functions.joins import bucketed_semi_anti_join
 
     orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -520,13 +525,10 @@ def anti_join_customers(sf_dir: str):
         keep = pc.greater(cents, BIG_ORDER_CENTS)
         return batch.filter(keep).select(["o_custkey"])
 
-    key_set = set(
-        orders.map_batches(big_keys, batch_format="pyarrow")
-        .to_pandas()["o_custkey"]
-        .tolist()
-    )
+    probe = orders.map_batches(big_keys, batch_format="pyarrow")
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_name"])
-    return broadcast_anti_filter(cust, "c_custkey", key_set)
+    return bucketed_semi_anti_join(cust, probe, "c_custkey",
+                                   right_key="o_custkey")
 
 
 # ---------------------------------------------------------------------------

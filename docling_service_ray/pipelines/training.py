@@ -583,6 +583,7 @@ def approx_distinct_tokens(sf_dir: str):
     from ..functions.hashing import hash64
 
     K = 1024
+    MERGE_FAN = 32  # level-1 fold width
     ds = read_table(sf_dir, "documents", columns=["text"])
 
     def sketch(batch: pd.DataFrame) -> pd.DataFrame:
@@ -594,10 +595,40 @@ def approx_distinct_tokens(sf_dir: str):
                 [hash64(t) & 0x7FFFFFFFFFFFFFFF for t in uniq], dtype=np.uint64
             )
         )[:K]
-        return pd.DataFrame({"h": hs.astype(np.int64)})
+        # level-0 fold key: hash value mod fan-out. Any member of the
+        # global K-min is by definition within its own bucket's K-min, so
+        # per-bucket truncation loses nothing.
+        return pd.DataFrame(
+            {
+                "h": hs.astype(np.int64),
+                "__mb": (hs % np.uint64(MERGE_FAN)).astype(np.int64),
+            }
+        )
 
-    parts = ds.map_batches(sketch, batch_format="pandas").to_pandas()
-    merged = np.unique(parts["h"].to_numpy().astype(np.uint64))[:K]
+    def fold_bucket(grp: pa.Table) -> pa.Table:
+        hs = np.unique(grp["h"].to_numpy(zero_copy_only=False).astype(np.uint64))
+        return pa.table({"h": pa.array(np.sort(hs)[:K].astype(np.int64))})
+
+    # two-level distributed fold: per-value-bucket union+truncate (the
+    # shuffle fans the per-batch sketches over MERGE_FAN reduce tasks),
+    # then ONE final union+truncate task — the driver receives exactly
+    # K hashes, never the n_batches x K concatenation.
+    parts = ds.map_batches(sketch, batch_format="pandas")
+    level1 = parts.groupby("__mb").map_groups(
+        fold_bucket, batch_format="pyarrow"
+    )
+
+    def final_fold(df: pd.DataFrame) -> pd.DataFrame:
+        hs = np.unique(df["h"].to_numpy().astype(np.uint64))
+        return pd.DataFrame({"h": np.sort(hs)[:K].astype(np.int64)})
+
+    merged = (
+        level1.repartition(1)
+        .map_batches(final_fold, batch_format="pandas", batch_size=None)
+        .to_pandas()["h"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
     if len(merged) < K:  # fewer distincts than k -> exact
         est = len(merged)
     else:

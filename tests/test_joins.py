@@ -108,3 +108,23 @@ def test_asof_join_per_key(ray_session):
     # k=2 ts=5 has no match (right ts=8 > 5) -> dropped
     assert got["lid"].tolist() == [100, 101, 102]
     assert got["rid_matched"].astype(int).tolist() == [200, 201, 202]
+
+
+def test_bucketed_semi_anti_join(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import bucketed_semi_anti_join
+
+    left = rd.from_items(
+        [{"k": i, "v": f"row{i}"} for i in range(10)]
+    )
+    right = rd.from_items(
+        [{"probe": k} for k in (2, 3, 3, 5, 99)]  # dup + unmatched keys
+    )
+    anti = bucketed_semi_anti_join(left, right, "k", right_key="probe")
+    assert sorted(anti.to_pandas()["k"]) == [0, 1, 4, 6, 7, 8, 9]
+    semi = bucketed_semi_anti_join(left, right, "k", right_key="probe",
+                                   keep_matches=True)
+    got = semi.to_pandas().sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == [2, 3, 5]
+    assert got["v"].tolist() == ["row2", "row3", "row5"]  # columns intact
