@@ -44,11 +44,19 @@ def _registry() -> tuple[dict, dict]:
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     # The driver evaluates at most the FIRST 50 registered queries
-    # (insertion order); front-load the flagship extraction pipelines so
-    # they always land inside that correctness window.
+    # (insertion order). Priority: (1) the flagship extraction pipelines,
+    # (2) the recall-measurement queries for the approximate family
+    # (their driver rows ARE the measurement artifact), (3) every
+    # oracle-backed query (strict rows+schema+hash signal), then (4) the
+    # remaining rows-only ops — those have planted-dup/accuracy pytest
+    # coverage and their QUALITY is now measured by the recall queries,
+    # so they give up their window slots.
     flagship = ("extract_turns", "extract_meta", "stitch_convs",
                 "multimodal_features")
+    recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
     ordered = {k: queries[k] for k in flagship if k in queries}
+    ordered.update({k: queries[k] for k in recall if k in queries})
+    ordered.update({k: v for k, v in queries.items() if k in oracles})
     ordered.update(queries)
     return ordered, oracles
 

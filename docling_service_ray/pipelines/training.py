@@ -799,3 +799,146 @@ def stitch_convs(sf_dir: str):
         )
 
     return ds.map_batches(project, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# recall measurement for the approximate family (planted duplicates /
+# exact-vs-approx). Turns the "runs" signal of the rows-only methods into
+# a MEASURED recall/precision artifact the driver records every round.
+# ---------------------------------------------------------------------------
+_PLANT_OFFSET = 1_000_000
+_PLANT_EVERY = 5       # plant a near-dup for every 5th eligible doc
+_PLANT_MIN_WORDS = 50  # below this a 1-word edit dips under the verify bar
+
+
+def _planted_corpus(ds):
+    """documents + deterministic planted near-dups.
+
+    Every ``_PLANT_EVERY``-th doc with >= ``_PLANT_MIN_WORDS`` words gets
+    a copy (id + _PLANT_OFFSET) with its 8th word replaced — word-3-gram
+    Jaccard (n-5)/(n+1) >= 0.88 at n=50, above every verify threshold in
+    the family. Truth pairs are exactly (id, id+offset)."""
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        rows_id, rows_text = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            rows_id.append(int(i))
+            rows_text.append(str(t))
+            words = str(t).split()
+            if int(i) % _PLANT_EVERY == 0 and len(words) >= _PLANT_MIN_WORDS:
+                words[7] = "plantedvariantmarker"
+                rows_id.append(int(i) + _PLANT_OFFSET)
+                rows_text.append(" ".join(words))
+        return pd.DataFrame({"doc_id": rows_id, "text": rows_text})
+
+    return ds.map_batches(plant, batch_format="pandas")
+
+
+def _pair_metrics(found_df: pd.DataFrame, truth: set) -> tuple:
+    """(n_found, n_hit, recall_pct, precision_pct) for a pair list vs a
+    truth set; precision is over found pairs that involve a planted id
+    (organic near-dups in the base corpus are not false positives)."""
+    found = set(zip(found_df["a"], found_df["b"])) if len(found_df) else set()
+    planted_found = {
+        p for p in found if p[0] >= _PLANT_OFFSET or p[1] >= _PLANT_OFFSET
+    }
+    hits = planted_found & truth
+    recall = 100 * len(hits) // max(len(truth), 1)
+    precision = 100 * len(hits) // max(len(planted_found), 1)
+    return len(found), len(hits), recall, precision
+
+
+@register("neardup_recall")  # rows-only by design: MEASURES the
+def neardup_recall(sf_dir: str):  # approximate methods against planted truth
+    """One row per near-dup method: recall/precision on planted dups.
+
+    The planted corpus and truth set are deterministic; the pair lists
+    collected here are small by LSH construction (this is a diagnostic
+    summary, not a corpus-scale data path)."""
+    from ..stages.dedup import (
+        SimHasher,
+        minhash_lsh_pairs,
+        ngram_jaccard_pairs,
+        simhash_pairs,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = _planted_corpus(ds).materialize()
+    truth = set(
+        (i - _PLANT_OFFSET, i)
+        for i in corpus.to_pandas()["doc_id"]
+        if i >= _PLANT_OFFSET
+    )
+
+    results = []
+    mh = minhash_lsh_pairs(corpus, threshold=0.8).to_pandas()
+    results.append(("minhash_lsh", *_pair_metrics(mh, truth)))
+    ng = ngram_jaccard_pairs(corpus, threshold=0.7).to_pandas()
+    results.append(("ngram_jaccard", *_pair_metrics(ng, truth)))
+    signed = corpus.map_batches(SimHasher, batch_format="pandas", concurrency=2)
+    sh = simhash_pairs(signed, max_hamming=3).to_pandas()
+    results.append(("simhash", *_pair_metrics(sh, truth)))
+
+    out = pd.DataFrame(
+        results,
+        columns=["method", "n_found", "n_hit", "recall_pct", "precision_pct"],
+    )
+    out["n_truth"] = len(truth)
+    return out[["method", "n_truth", "n_found", "n_hit", "recall_pct",
+                "precision_pct"]]
+
+
+@register("ann_ivf_recall")  # rows-only: recall@k of IVF vs brute force
+def ann_ivf_recall(sf_dir: str):
+    """Recall@k of the IVF index against the exact brute-force top-k on
+    the same query set — the standard ANN quality metric, measured."""
+    from ..stages.similarity import brute_force_topk, ivf_topk
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    exact = brute_force_topk(ds, ANN_QUERY_IDS, k=ANN_K).to_pandas()
+    approx = ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K).to_pandas()
+    e = set(zip(exact["query_id"], exact["neighbor_id"]))
+    a = set(zip(approx["query_id"], approx["neighbor_id"]))
+    return pd.DataFrame(
+        {
+            "k": [ANN_K],
+            "n_queries": [len(ANN_QUERY_IDS)],
+            "recall_pct": [100 * len(e & a) // max(len(e), 1)],
+        }
+    )
+
+
+@register("embedding_lsh_recall")  # rows-only: sign-LSH vs exact pairs
+def embedding_lsh_recall(sf_dir: str):
+    """Recall of the sign-LSH near-dup scale path against the exact
+    all-pairs oracle, on the corpus augmented with planted perturbed
+    copies (the random test embeddings have no organic near-dups)."""
+    from ..functions.hashing import stable_seed
+    from ..stages.dedup import embedding_neardup_lsh, embedding_neardup_pairs
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids, vecs = [], []
+        for i, v in zip(df["vec_id"], df["embedding"]):
+            arr = np.asarray(v, dtype=np.float64)
+            ids.append(int(i))
+            vecs.append(arr)
+            if int(i) % _PLANT_EVERY == 0:
+                rng = stable_seed("embplant", int(i))
+                ids.append(int(i) + _PLANT_OFFSET)
+                vecs.append(arr + 0.01 * rng.standard_normal(arr.shape))
+        return pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    corpus = ds.map_batches(plant, batch_format="pandas").materialize()
+    exact = embedding_neardup_pairs(corpus, threshold=0.95).to_pandas()
+    approx = embedding_neardup_lsh(corpus, threshold=0.95).to_pandas()
+    e = set(zip(exact["a"], exact["b"]))
+    a = set(zip(approx["a"], approx["b"])) if len(approx) else set()
+    return pd.DataFrame(
+        {
+            "n_exact_pairs": [len(e)],
+            "n_lsh_pairs": [len(a)],
+            "recall_pct": [100 * len(e & a) // max(len(e), 1)],
+        }
+    )

@@ -977,28 +977,44 @@ def embedding_dup_counts(ds, *, id_col: str = "vec_id", threshold: float = 0.95)
 
 def embedding_neardup_lsh(
     ds, *, id_col: str = "vec_id", threshold: float = 0.95, planes: int = 16,
-    dim: int = 64, n_buckets: int = 64
+    dim: int = 64, n_buckets: int = 64, tables: int = 4
 ):
-    """Scale path: random-hyperplane (sign) LSH bucketing + in-bucket exact
-    verify. Recall < 1 by construction (documented); candidates never leave
-    their bucket so the shuffle moves one signature row per vector. LSH
-    buckets are co-located by a COARSE hash bucket (one Ray dispatch per
-    coarse bucket, not per occupied LSH bucket) and verified with one
-    matmul per non-singleton LSH bucket inside the task."""
+    """Scale path: MULTI-TABLE random-hyperplane (sign) LSH bucketing +
+    in-bucket exact verify. ``tables`` independent hash tables of
+    ``planes`` hyperplanes each; a pair is a candidate if it collides in
+    ANY table, so recall = 1-(1-r)^tables where r is the single-table
+    collision rate (measured on the planted-perturbation fixture:
+    ~0.63 single-table -> ~0.98 at 4 tables). Cost: each vector ships
+    ``tables`` (signature, embedding) rows into the shuffle — the
+    standard LSH recall/bandwidth trade, stated here so callers can size
+    it (tables=1 restores the old behavior).
+
+    LSH buckets are co-located by a COARSE hash bucket (one Ray dispatch
+    per coarse bucket, not per occupied LSH bucket), verified with one
+    matmul per non-singleton LSH bucket inside the task, and cross-table
+    duplicate pairs are dropped with the same bucketed vectorized dedup
+    the simhash path uses."""
     from ..functions.hashing import bucket_column
 
     rng = stable_seed("signlsh", planes, dim)
-    hyper = rng.standard_normal((dim, planes))
+    hyper = rng.standard_normal((tables, dim, planes))
 
     def bucketize(batch: pd.DataFrame) -> pd.DataFrame:
         mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        signs = (mat @ hyper) > 0
-        keys = (signs * (1 << np.arange(planes))).sum(axis=1).astype("int64")
+        n = len(batch)
+        ids_out, keys_out, emb_out = [], [], []
+        for t in range(tables):
+            signs = (mat @ hyper[t]) > 0
+            keys = (signs * (1 << np.arange(planes))).sum(axis=1).astype("int64")
+            # table id folded into the key -> tables never cross-collide
+            ids_out.append(batch[id_col].to_numpy())
+            keys_out.append(keys + (t << planes))
+            emb_out.extend(batch["embedding"].tolist())
         return pd.DataFrame(
             {
-                id_col: batch[id_col].to_numpy(),
-                "bucket": keys,
-                "embedding": batch["embedding"],
+                id_col: np.concatenate(ids_out),
+                "bucket": np.concatenate(keys_out),
+                "embedding": emb_out,
             }
         )
 
@@ -1023,15 +1039,30 @@ def embedding_neardup_lsh(
             out_b.append(np.maximum(ids[rows], ids[cols]))
         a = np.concatenate(out_a) if out_a else np.array([], np.int64)
         b = np.concatenate(out_b) if out_b else np.array([], np.int64)
+        pairs = pd.DataFrame(
+            {"a": a.astype(np.int64), "b": b.astype(np.int64)}
+        ).drop_duplicates()
         return pa.table(
             {
-                "a": pa.array(a.astype(np.int64)),
-                "b": pa.array(b.astype(np.int64)),
+                "a": pa.array(pairs["a"].to_numpy()),
+                "b": pa.array(pairs["b"].to_numpy()),
             }
         )
 
-    return bucketed.groupby("__eb").map_groups(
+    pairs = bucketed.groupby("__eb").map_groups(
         verify_coarse, batch_format="pyarrow"
+    )
+    # cross-table duplicates: same pair found via different tables lands in
+    # different coarse buckets -> one bucketed vectorized dedup on "a"
+    pair_bucketed = pairs.map_batches(
+        lambda t: bucket_column(t, "a", n_buckets, "__pb"),
+        batch_format="pyarrow",
+    )
+    return pair_bucketed.groupby("__pb").map_groups(
+        lambda df: table_from_pandas(
+            df.drop(columns="__pb").drop_duplicates(["a", "b"])
+        ),
+        batch_format="pandas",
     )
 
 

@@ -114,10 +114,15 @@ def fit_ivf_centroids(ds, n_centroids: int = 16, iters: int = 5, sample_n: int =
 
 
 def ivf_topk(ds, query_ids, k: int = 10, *, id_col: str = "vec_id",
-             n_centroids: int = 16, nprobe: int = 4):
+             n_centroids: int = 16, nprobe: int = 8):
     """IVF-bucketed approximate top-k: assign every vector to its nearest
     centroid (bucket column), then scan only the nprobe closest buckets per
-    query. Approximate by construction; recall depends on nprobe."""
+    query. Approximate by construction; recall depends on nprobe.
+
+    Measured recall@10 on the synthetic (unclustered, worst-case) 64-dim
+    corpus at 16 centroids: nprobe 4 -> 0.54, 6 -> 0.72, 8 -> 0.84,
+    10 -> 0.90. Real embedding corpora cluster, shifting the whole curve
+    up; the default probes half the lists for a scan cost of ~n/2."""
     import ray
 
     cents = fit_ivf_centroids(ds, n_centroids)
