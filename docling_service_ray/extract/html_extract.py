@@ -433,11 +433,41 @@ class _FastDomBuilder:
         return self.root
 
 
+def _fast_parser_available() -> bool:
+    """The fast scanner leans on CPython ``html.parser`` private regexes;
+    if an interpreter renames or drops any of them, fall back to the
+    stdlib path instead of crashing (or silently drifting) inside a
+    worker task. Checked ONCE at import."""
+    import html.parser as _hp
+
+    required = (
+        "interesting_normal", "starttagopen", "charref", "entityref",
+        "incomplete", "tagfind_tolerant", "attrfind_tolerant",
+        "locatestarttagend_tolerant", "endendtag", "endtagfind",
+    )
+    return all(
+        hasattr(_hp, a) for a in required
+    ) and hasattr(_hp.HTMLParser, "CDATA_CONTENT_ELEMENTS")
+
+
+_FAST_AVAILABLE = _fast_parser_available()
+
+
 def parse_html(src: str, strict: bool, impl: str = "auto") -> _Node:
     """DOM parse. ``impl``: "auto" uses the fast scanner unless the source
-    contains constructs it refuses (``<!``/``<?``); "fast"/"stdlib" force a
-    path (tests compare the two for equivalence)."""
-    if impl == "stdlib" or (impl == "auto" and ("<!" in src or "<?" in src)):
+    contains constructs it refuses (``<!``/``<?``) or the interpreter
+    lacks the stdlib privates it mirrors; "fast"/"stdlib" force a path
+    (tests compare the two for equivalence)."""
+    if impl == "fast" and not _FAST_AVAILABLE:
+        raise RuntimeError(
+            "impl='fast' requested but this interpreter's html.parser "
+            "lacks the private scanner attributes the fast path mirrors; "
+            "use impl='auto' or 'stdlib'"
+        )
+    if impl == "stdlib" or (
+        impl == "auto"
+        and (not _FAST_AVAILABLE or "<!" in src or "<?" in src)
+    ):
         b = _DomBuilder(src, strict)
         b.feed(src)
         return b.finish()

@@ -30,7 +30,11 @@ def read_transcripts(sf_dir: str, columns=None):
     those parquet columns (100 TB rule: unused columns never leave storage).
     """
     path = ensure_transcripts(sf_dir)
-    return rd.read_parquet(path, columns=columns or TRANSCRIPT_COLUMNS)
+    from ..sources.tables import stripped_schema
+
+    cols = columns or TRANSCRIPT_COLUMNS
+    return rd.read_parquet(path, columns=cols,
+                           schema=stripped_schema(path, cols))
 
 
 def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256,

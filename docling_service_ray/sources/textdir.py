@@ -135,8 +135,9 @@ def read_url_documents(urls, *, suffixes=ALLOWED_SUFFIXES):
     - ``s3://bucket/key`` -> S3FileSystem (optionally with an R2-style
       ``endpoint_override``) — constructed but unexercised here (no
       network in this sandbox);
-    - ``http(s)://`` -> loud NotImplementedError (would need an HTTP
-      filesystem; none is available offline).
+    - ``http(s)://`` -> distributed urllib fetch inside ``map_batches``
+      tasks (exercised offline against a local ``http.server`` in
+      tests).
 
     All URLs in one call must share a scheme (one filesystem per read).
     """
@@ -154,12 +155,78 @@ def read_url_documents(urls, *, suffixes=ALLOWED_SUFFIXES):
             paths.append(p.path)
         elif scheme == "s3":
             paths.append(p.netloc + p.path)
+        elif scheme in ("http", "https"):
+            paths.append(str(u))
         else:
             raise NotImplementedError(
-                f"URL scheme '{scheme}' needs a network-backed filesystem; "
-                "only file:// and s3:// route through pyarrow.fs here"
+                f"URL scheme '{scheme}' is not supported; use file://, "
+                "s3:// (pyarrow.fs) or http(s):// (urllib fetch)"
             )
     if len(schemes) > 1:
         raise ValueError(f"mixed URL schemes in one read: {sorted(schemes)}")
+    if schemes & {"http", "https"}:
+        return read_http_documents(paths, suffixes=suffixes)
     fs = make_filesystem("s3") if schemes == {"s3"} else None
     return read_text_documents(paths, suffixes=suffixes, filesystem=fs)
+
+
+def read_http_documents(urls, *, suffixes=ALLOWED_SUFFIXES,
+                        timeout_s: float = 30.0):
+    """HTTP(S) corpus source (S2 analog, reference delegates URL fetch to
+    its converter — ``app/main.py:1099-1105``): each ``map_batches`` task
+    fetches its slice of URLs with stdlib urllib, so fetching scales with
+    the task pool instead of serializing on the driver.
+
+    Same Dataset shape and gates as :func:`read_text_documents`
+    (doc_id = URL, text, n_bytes:int64; extension + size validation).
+    Fetch failures become ``ok=False`` rows with the error message —
+    data, not task failures (M2 semantics) — so the happy-path columns
+    stay union-compatible with the other sources via
+    ``select_columns(["doc_id", "text", "n_bytes"])`` after filtering.
+    """
+    import ray.data as rd
+
+    url_list = [str(u) for u in urls]
+    ds = rd.from_items([{"url": u} for u in url_list])
+
+    def fetch(batch: pa.Table) -> pa.Table:
+        import urllib.error
+        import urllib.request
+        from urllib.parse import urlparse
+
+        ids, texts, sizes, oks, errs = [], [], [], [], []
+        for u in batch["url"].to_pylist():
+            path = urlparse(u).path
+            if suffixes and not any(path.endswith(s) for s in suffixes):
+                ids.append(u); texts.append(""); sizes.append(0)
+                oks.append(False); errs.append("extension_rejected")
+                continue
+            try:
+                with urllib.request.urlopen(u, timeout=timeout_s) as r:
+                    blob = r.read(MAX_DOC_BYTES + 1)
+            except (urllib.error.URLError, OSError, ValueError) as exc:
+                ids.append(u); texts.append(""); sizes.append(0)
+                oks.append(False); errs.append(f"fetch_error: {exc}")
+                continue
+            if len(blob) > MAX_DOC_BYTES:
+                ids.append(u); texts.append(""); sizes.append(0)
+                oks.append(False); errs.append("size_rejected")
+                continue
+            ids.append(u)
+            texts.append(blob.decode("utf-8", errors="replace"))
+            sizes.append(len(blob))
+            oks.append(True)
+            errs.append("")
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "text": pa.array(texts, pa.string()),
+                "n_bytes": pa.array(sizes, pa.int64()),
+                "ok": pa.array(oks, pa.bool_()),
+                "error": pa.array(errs, pa.string()),
+            }
+        )
+
+    # small batches: one slow origin must not serialize a whole block's
+    # worth of other URLs behind it
+    return ds.map_batches(fetch, batch_format="pyarrow", batch_size=16)

@@ -297,8 +297,14 @@ def candidate_pairs(banded, *, id_col: str, max_bucket: int,
     Hot-bucket cap: a bucket of n ids yields C(n,2) pairs, so one
     degenerate bucket (e.g. thousands of near-empty texts sharing a band
     hash) would emit O(n^2) rows in one task. Buckets above
-    ``max_bucket`` are SKIPPED AND LOGGED — no silent caps (the log line
-    carries the bucket size so recall loss is visible).
+    ``max_bucket`` degrade to a STAR around the smallest id — n-1
+    candidate pairs instead of C(n,2) — and are logged with their size.
+    Members similar to the representative still reach exact verify (and
+    a downstream first-wins drop keeps exactly the representative), so
+    the cap bounds work without silently retaining a whole hot cluster;
+    only duplicate SUB-clusters that share a band hash with the
+    representative's cluster but not its content can be missed, and the
+    log line makes that case visible.
     """
     from ..functions.hashing import bucket_column
 
@@ -323,10 +329,14 @@ def candidate_pairs(banded, *, id_col: str, max_bucket: int,
                 continue
             if len(ids) > max_bucket:
                 logger.warning(
-                    "near-dup LSH bucket skipped: %d ids > max_bucket=%d "
-                    "(C(n,2)=%d candidate pairs suppressed)",
-                    len(ids), max_bucket, len(ids) * (len(ids) - 1) // 2,
+                    "near-dup LSH bucket capped: %d ids > max_bucket=%d; "
+                    "emitting %d star pairs around the smallest id instead "
+                    "of C(n,2)=%d",
+                    len(ids), max_bucket, len(ids) - 1,
+                    len(ids) * (len(ids) - 1) // 2,
                 )
+                out_a.append(np.repeat(ids[:1], len(ids) - 1))
+                out_b.append(ids[1:])
                 continue
             ia, ib = np.triu_indices(len(ids), k=1)
             out_a.append(ids[ia])

@@ -159,6 +159,11 @@ def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
     )
     if mode == "tasks":
         kwargs["fn"] = extract_batch
+        # an explicit cap applies to task pools too (map_batches accepts
+        # concurrency for tasks); only the actor-pool DEFAULT sizing below
+        # is actor-specific
+        if concurrency is not None:
+            kwargs["concurrency"] = concurrency
     else:
         kwargs["fn"] = ExtractTurns
         if concurrency is None:

@@ -63,7 +63,9 @@ def test_minhash_reports_jaccard_pct(docs_ds):
 
 
 def test_minhash_hot_bucket_cap(ray_session):
-    """Buckets above max_bucket are skipped (capped candidate explosion)."""
+    """Buckets above max_bucket degrade to a star around the smallest id
+    (bounded candidate count, hot cluster still deduplicable) instead of
+    being silently dropped."""
     import ray.data as rd
 
     from docling_service_ray.stages.dedup import minhash_lsh_pairs
@@ -71,7 +73,11 @@ def test_minhash_hot_bucket_cap(ray_session):
     rows = [{"doc_id": i, "text": "identical text everywhere"} for i in range(30)]
     ds = rd.from_items(rows)
     capped = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=10).to_pandas()
-    assert len(capped) == 0  # every bucket oversized -> suppressed
+    # star: every member pairs with doc 0 only -> n-1 verified pairs,
+    # so a first-wins drop of `b` still collapses the cluster to one doc
+    assert sorted(zip(capped["a"], capped["b"])) == [
+        (0, i) for i in range(1, 30)
+    ]
     uncapped = minhash_lsh_pairs(ds, threshold=0.5, max_bucket=1000).to_pandas()
     assert len(uncapped) == 30 * 29 // 2
 

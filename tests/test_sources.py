@@ -52,7 +52,7 @@ def test_read_url_documents_file_scheme(ray_session):
     assert out["text"].tolist() == ["first url doc", "second url doc"]
 
     with pytest.raises(NotImplementedError):
-        read_url_documents(["https://example.invalid/doc.txt"])
+        read_url_documents(["ftp://example.invalid/doc.txt"])
     with pytest.raises(ValueError):
         read_url_documents([f"file://{d}/x.txt", "s3://bucket/y.md"])
     shutil.rmtree(d, ignore_errors=True)
@@ -93,3 +93,52 @@ def test_read_jsonl_and_csv_documents(ray_session):
     assert got["text"].tolist() == ["csv doc one here", "csv doc two there"]
     assert str(got["n_bytes"].dtype) == "int64"
     shutil.rmtree(d, ignore_errors=True)
+
+
+def test_read_http_documents(ray_session):
+    """HTTP source exercised offline against a local http.server (S2 ->
+    yes): happy path, extension gate, and fetch-error-as-row semantics."""
+    import http.server
+    import threading
+
+    from docling_service_ray.sources.textdir import read_url_documents
+
+    d = "/tmp/graft_test_http"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    with open(os.path.join(d, "doc.txt"), "w") as f:
+        f.write("fetched over http")
+    with open(os.path.join(d, "page.html"), "w") as f:
+        f.write("<p>html body</p>")
+    with open(os.path.join(d, "blob.bin"), "w") as f:
+        f.write("binary-ish")
+
+    handler = lambda *a, **kw: http.server.SimpleHTTPRequestHandler(
+        *a, directory=d, **kw
+    )
+    srv = http.server.ThreadingHTTPServer(("127.0.0.1", 0), handler)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        out = read_url_documents(
+            [
+                f"{base}/doc.txt",
+                f"{base}/page.html",
+                f"{base}/blob.bin",      # extension gate
+                f"{base}/missing.txt",   # 404 -> error row
+            ]
+        ).to_pandas().set_index("doc_id")
+        assert bool(out.loc[f"{base}/doc.txt", "ok"])
+        assert out.loc[f"{base}/doc.txt", "text"] == "fetched over http"
+        assert int(out.loc[f"{base}/doc.txt", "n_bytes"]) == 17
+        assert bool(out.loc[f"{base}/page.html", "ok"])
+        assert not bool(out.loc[f"{base}/blob.bin", "ok"])
+        assert out.loc[f"{base}/blob.bin", "error"] == "extension_rejected"
+        assert not bool(out.loc[f"{base}/missing.txt", "ok"])
+        assert out.loc[f"{base}/missing.txt", "error"].startswith("fetch_error")
+    finally:
+        srv.shutdown()
+        srv.server_close()
+        shutil.rmtree(d, ignore_errors=True)
