@@ -24,7 +24,7 @@ _BUCKET_COL = "__join_bucket"
 
 
 def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
-                       how: str = "inner"):
+                       how: str = "inner", lschema=None, rschema=None):
     """Big-big equi-join: both sides bucketed by hash(key) % n_buckets,
     union'd, co-located with ONE groupby(bucket), joined per bucket with a
     vectorized pandas merge.
@@ -33,11 +33,16 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
     worker (size n_buckets accordingly; salt hot keys upstream if one key
     dominates). Output columns = left's then right's minus the duplicated
     key. Schemas are aligned by null-padding so the union is well-typed.
+
+    Pass ``lschema``/``rschema`` (pyarrow) when the caller already knows
+    them: ``Dataset.schema()`` on a side whose lineage contains a shuffle
+    EXECUTES that upstream once just to learn the schema, and the join
+    then executes it again — a silent 2x on the expensive side.
     """
     from .arrow_util import arrow_schema_of
 
-    lschema = arrow_schema_of(left)
-    rschema = arrow_schema_of(right)
+    lschema = lschema or arrow_schema_of(left)
+    rschema = rschema or arrow_schema_of(right)
     lnames = list(lschema.names)
     rnames = [n for n in rschema.names if n != key]
     overlap = set(lnames) & set(rnames)

@@ -206,7 +206,7 @@ def rewrite_refs_query(sf_dir: str):
     """URI rewriting (M9, reference app/main.py:402-413): each document
     carries a ``ref://<next_id>`` marker; the rewriter replaces it with
     the REFERENCED document's canonical content-addressed stored key."""
-    from ..stages.refs import canonical_keys, rewrite_refs
+    from ..stages.refs import content_keys, rewrite_refs
 
     docs = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n = docs.count()  # parquet metadata count — no scan
@@ -221,7 +221,9 @@ def rewrite_refs_query(sf_dir: str):
         )
 
     with_refs = docs.map_batches(with_ref, batch_format="pandas")
-    keys = canonical_keys(docs)
+    # content-addressed keys need no canonical-owner shuffle (see
+    # refs.content_keys); rewrite semantics are identical
+    keys = content_keys(docs)
     out = rewrite_refs(with_refs, keys, out_col="rewritten")
     return out.select_columns(["doc_id", "rewritten"])
 

@@ -381,7 +381,8 @@ def _empty_pairs(id_type: pa.DataType) -> pa.Table:
 
 def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
                              id_col: str = "doc_id", text_col: str = "text",
-                             n_buckets: int = 64, prep_fn=None, score_fn=None):
+                             n_buckets: int = 64, prep_fn=None, score_fn=None,
+                             id_type: pa.DataType | None = None):
     """Candidate (a, b) pairs -> verified (a, b, jaccard_pct), fully
     distributed (the 100 TB verify plan):
 
@@ -417,7 +418,10 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     from ..functions.hashing import bucket_column
     from ..functions.joins import broadcast_anti_filter
 
-    id_type = _id_arrow_type(text_ds, id_col)
+    # callers whose text_ds lineage contains a shuffle MUST pass id_type:
+    # Dataset.schema() on such a side executes the upstream once just for
+    # the schema, doubling the expensive stage
+    id_type = id_type or _id_arrow_type(text_ds, id_col)
 
     pairs = cand.map_batches(
         lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
@@ -569,6 +573,7 @@ def minhash_lsh_pairs(
     threshold: float = 0.8,  # near-1 recall for verify thresholds >= 0.7
     max_bucket: int = 2000,
     n_buckets: int = 64,
+    id_type: pa.DataType | None = None,
 ):
     """Near-duplicate pairs via MinHash banding, verify included.
 
@@ -582,7 +587,7 @@ def minhash_lsh_pairs(
     (a, b, jaccard_pct:int) with a < b. Dtype-preserving for integer and
     string ids.
     """
-    id_type = _id_arrow_type(ds, id_col)
+    id_type = id_type or _id_arrow_type(ds, id_col)
 
     def band_emitter(batch: pd.DataFrame) -> pa.Table:
         # task pool (not actors): the hasher is memoized per worker
@@ -618,7 +623,7 @@ def minhash_lsh_pairs(
     return verify_pairs_distributed(
         cand, ds, jaccard_word_ngrams, threshold,
         id_col=id_col, text_col=text_col, n_buckets=n_buckets,
-        prep_fn=word_ngram_set, score_fn=set_jaccard,
+        prep_fn=word_ngram_set, score_fn=set_jaccard, id_type=id_type,
     )
 
 
@@ -640,16 +645,30 @@ def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
     from ..functions.joins import bucketed_hash_join
     from ..functions.setops import except_keys
 
+    # resolve the id dtype ONCE from the raw input; every downstream
+    # stage receives it explicitly — calling .schema() on the join/dedup
+    # outputs would re-execute those shuffles just for schema inference
+    id_type = _id_arrow_type(ds, id_col)
+    from ..functions.arrow_util import arrow_schema_of
+
+    text_schema = arrow_schema_of(ds.select_columns([id_col, text_col]))
     acts = exact_dedup_actions(ds, id_col, text_col, n_buckets=n_buckets)
     kept = acts.map_batches(
         lambda t: t.filter(pc.equal(t["action"], "kept")).select([id_col]),
         batch_format="pyarrow",
     )
     docs_kept = bucketed_hash_join(kept, ds.select_columns([id_col, text_col]),
-                                   id_col, n_buckets=n_buckets)
+                                   id_col, n_buckets=n_buckets,
+                                   lschema=pa.schema([(id_col, id_type)]),
+                                   rschema=text_schema)
+    # materialize ONCE: three consumers follow (banding, the verify text
+    # attach, the final keep set) and each would otherwise re-execute the
+    # dedup + join shuffles above; the object store holds/spills the
+    # deduped corpus instead
+    docs_kept = docs_kept.materialize()
     pairs = minhash_lsh_pairs(
         docs_kept, id_col=id_col, text_col=text_col, threshold=threshold,
-        n_buckets=n_buckets,
+        n_buckets=n_buckets, id_type=id_type,
     )
     drop_ds = pairs.map_batches(
         lambda t: pa.table({id_col: t["b"]}), batch_format="pyarrow",

@@ -100,6 +100,29 @@ def canonical_keys(ds, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def content_keys(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                 prefix: str = DEFAULT_PREFIX, suffix: str = DEFAULT_SUFFIX):
+    """(id, stored_key) per row, map-only — NO shuffle.
+
+    Because the key scheme is content-addressed (md5 of the text,
+    ``app/main.py:717-718``), a duplicate's key IS its canonical owner's
+    key; resolving the canonical owner id (:func:`canonical_keys`'s
+    shuffle) is only needed when the caller wants the owner/action
+    columns. :func:`rewrite_refs` only needs (id, stored_key), so feeding
+    it this map-only dataset saves one corpus shuffle."""
+
+    def hash_batch(df: pd.DataFrame) -> pd.DataFrame:
+        h = _md5_series(df[text_col])
+        return pd.DataFrame(
+            {
+                id_col: df[id_col].to_numpy(),
+                "stored_key": [prefix + x + suffix for x in h],
+            }
+        )
+
+    return ds.map_batches(hash_batch, batch_format="pandas")
+
+
 def rewrite_refs(ds, keys_ds, *, id_col: str = "doc_id",
                  text_col: str = "text", out_col: str = "rewritten",
                  n_buckets: int = 64):
@@ -137,6 +160,16 @@ def rewrite_refs(ds, keys_ds, *, id_col: str = "doc_id",
     _B = "__rw_bucket"
     _SIDE = "__rw_side"
 
+    from ..functions.arrow_util import arrow_schema_of
+
+    # resolve schemas ONCE, from the (cheap) input dataset — never via
+    # .schema() on a shuffle output, which would execute that upstream
+    # once for the schema and again for the real run
+    ds_schema = arrow_schema_of(ds)
+    id_field_type = ds_schema.field(id_col).type
+    edges_schema = pa.schema([(id_col, id_field_type), (_REF, pa.int64())])
+    keys2_schema = pa.schema([(_REF, pa.int64()), (_KEY, pa.large_string())])
+
     def extract_edges(df: pd.DataFrame) -> pd.DataFrame:
         s = df[text_col].astype(str).reset_index(drop=True)
         m = s.str.extractall(_REF_RE)
@@ -153,7 +186,7 @@ def rewrite_refs(ds, keys_ds, *, id_col: str = "doc_id",
                     _REF: pd.Series([], dtype="int64"),
                 }
             )
-        return table_from_pandas(out)
+        return table_from_pandas(out, schema=edges_schema)
 
     edges = ds.map_batches(extract_edges, batch_format="pandas")
 
@@ -165,19 +198,19 @@ def rewrite_refs(ds, keys_ds, *, id_col: str = "doc_id",
                     _KEY: df["stored_key"].to_numpy(),
                 }
             ),
-            schema=pa.schema([(_REF, pa.int64()), (_KEY, pa.large_string())]),
+            schema=keys2_schema,
         )
 
     keys2 = keys_ds.map_batches(project_keys, batch_format="pandas")
-    # inner join: unknown refs simply don't resolve and stay intact
+    # inner join: unknown refs simply don't resolve and stay intact.
+    # Explicit schemas: keys_ds's lineage contains the canonical_keys
+    # shuffle — letting the join infer via .schema() would execute it 2x
     resolved = bucketed_hash_join(edges, keys2, key=_REF,
-                                  n_buckets=n_buckets, how="inner")
+                                  n_buckets=n_buckets, how="inner",
+                                  lschema=edges_schema, rschema=keys2_schema)
 
     # tag-and-union: side 0 = the referring rows (full columns), side 1 =
     # resolved triples; co-locate by hash(referrer id)
-    from ..functions.arrow_util import arrow_schema_of
-
-    ds_schema = arrow_schema_of(ds)
     all_fields = [(n, t) for n, t in zip(ds_schema.names, ds_schema.types)]
     all_fields += [(_REF, pa.int64()), (_KEY, pa.large_string())]
     out_schema = pa.schema(
