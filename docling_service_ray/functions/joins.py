@@ -226,6 +226,112 @@ def grouped_topk(ds, group_key: str, order_col: str, k: int, *,
     )
 
 
+def interval_join_count(anchors, events, *, anchor_id: str, ts_col: str,
+                        window_us: int, n_buckets_hint: int = 0):
+    """Non-equi interval join, aggregated: for each anchor row, COUNT the
+    event rows with ``anchor.ts <= event.ts < anchor.ts + window``.
+    No shared key — this is the range-predicate join class the equi-join
+    primitives can't express.
+
+    Distributed plan (time-bucket replication — the standard interval-join
+    shape): bucket width = the window length, so every anchor interval
+    overlaps AT MOST TWO buckets. Anchors replicate to those (<=2)
+    buckets, events land in exactly one; ONE groupby(bucket) co-locates
+    them and each task counts per-bucket matches with two vectorized
+    ``searchsorted`` calls against its sorted event timestamps. Because
+    each event belongs to one bucket, per-bucket partial counts sum to
+    the exact answer — a second (tiny: ids + partial counts) groupby on
+    the anchor id finishes. The exchange carries only (id, int64 ts)
+    rows, never payloads.
+
+    Partitioning assumption: one time-bucket's events fit a worker
+    (buckets are time-ranges — for heavily skewed event-time
+    distributions, shrink the window or pre-split hot buckets upstream).
+    """
+    import pyarrow.compute as pc
+
+    from .arrow_util import table_from_pandas
+
+    W = np.int64(window_us)
+    _TB = "__ij_bucket"
+    _SIDE = "__ij_side"
+
+    def anchor_rows(t: pa.Table) -> pa.Table:
+        ids = t[anchor_id].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        b0 = ts // W
+        b1 = (ts + W - 1) // W  # bucket of the last contained microsecond
+        dup = b1 != b0
+        out_ids = np.concatenate([ids, ids[dup]])
+        out_ts = np.concatenate([ts, ts[dup]])
+        out_b = np.concatenate([b0, b1[dup]])
+        n = len(out_ids)
+        return pa.table(
+            {
+                "id": pa.array(out_ids),
+                "ts": pa.array(out_ts),
+                _TB: pa.array(out_b),
+                _SIDE: pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def event_rows(t: pa.Table) -> pa.Table:
+        ts = t[ts_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        n = len(ts)
+        return pa.table(
+            {
+                "id": pa.array(np.full(n, -1, np.int64)),
+                "ts": pa.array(ts),
+                _TB: pa.array(ts // W),
+                _SIDE: pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    tagged = anchors.map_batches(anchor_rows, batch_format="pyarrow").union(
+        events.map_batches(event_rows, batch_format="pyarrow")
+    )
+
+    def count_bucket(grp: pa.Table) -> pa.Table:
+        amask = pc.equal(grp[_SIDE], 0)
+        a = grp.filter(amask)
+        ev_ts = np.sort(
+            grp.filter(pc.invert(amask))["ts"].to_numpy(zero_copy_only=False)
+        )
+        ids = a["id"].to_numpy(zero_copy_only=False)
+        starts = a["ts"].to_numpy(zero_copy_only=False)
+        bucket = grp[_TB][0].as_py()
+        # clamp the count range to THIS bucket's time span so the two
+        # replicas of a straddling anchor never double-count an event
+        lo = np.maximum(starts, bucket * W)
+        hi = np.minimum(starts + W, (bucket + 1) * W)
+        cnt = np.searchsorted(ev_ts, hi, side="left") - np.searchsorted(
+            ev_ts, lo, side="left"
+        )
+        return pa.table(
+            {"id": pa.array(ids), "partial": pa.array(cnt.astype(np.int64))}
+        )
+
+    partials = tagged.groupby(_TB).map_groups(
+        count_bucket, batch_format="pyarrow"
+    )
+
+    def sum_bucket(df: pd.DataFrame) -> pa.Table:
+        out = df.groupby("id", as_index=False)["partial"].sum()
+        return table_from_pandas(
+            out.rename(columns={"id": anchor_id, "partial": "n_in_window"})
+        )
+
+    from .hashing import bucket_column
+
+    pb = partials.map_batches(
+        lambda t: bucket_column(t, "id", 64, _TB), batch_format="pyarrow"
+    )
+    return pb.groupby(_TB).map_groups(
+        lambda g: sum_bucket(g.drop_columns([_TB]).to_pandas()),
+        batch_format="pyarrow",
+    )
+
+
 def asof_join_per_key(left, right, key: str, ts_col: str, *,
                       left_cols: list, right_cols: list,
                       suffix: str = "_matched", n_buckets: int = 64):
