@@ -395,13 +395,17 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     2. the corpus is semi-filtered to candidate ids with a broadcast
        ``is_in`` (the driver holds only the candidate-id set, never
        text);
-    3. shuffle A — rows keyed by doc id: each pair emits (id=a) and
-       (id=b) need-rows, co-located with the candidate texts by ONE
-       hash-bucket groupby; each bucket attaches text vectorized (merge);
-    4. shuffle B — rows keyed by pair: one hash-bucket groupby on ``a``
-       co-locates both sides of every pair; each bucket pivots
-       (a, b, side, text) -> (a, b, text_a, text_b) and verifies in a
-       batched loop — one task per bucket, never one dispatch per pair.
+    3. pair buckets are assigned up front (hash of ``a``), and each
+       pair emits its DISTINCT (bucket, doc-id) needs — so shuffle A
+       (keyed by doc id) attaches each text to its needing buckets, and
+       shuffle B (keyed by pair bucket) co-locates id-only pair rows
+       with ONE text copy per (bucket, id). A doc in k pairs ships at
+       most min(k, n_buckets) text copies instead of k — the text
+       volume through the exchange is bounded by bucket fan-out, not
+       pair multiplicity;
+    4. each verify task builds its id->text dict once and scores pairs
+       in a batched loop — one task per bucket, never one dispatch per
+       pair.
 
     Verification kernel: with ``prep_fn``/``score_fn`` given, each
     bucket computes ``prep_fn(text)`` ONCE PER DOCUMENT (memoized by id —
@@ -441,109 +445,163 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     texts = text_ds.select_columns([id_col, text_col])
     needed = broadcast_anti_filter(texts, id_col, cand_ids, keep_matches=True)
 
-    # aligned union schema: (id, a, b, text, side); sides split while still
-    # Arrow in the bucket fns so null padding never upcasts int columns
-    def pair_need_rows(df: pd.DataFrame) -> pa.Table:
-        a = df["a"].to_numpy()
-        b = df["b"].to_numpy()
-        n = len(df)
+    # pair buckets are assigned FIRST (hash of ``a``); each candidate
+    # text then ships ONCE PER (bucket, id) — not once per pair side. A
+    # doc appearing in k pairs previously put k text copies through the
+    # pair shuffle; now it puts at most min(k, n_buckets) copies, and
+    # the pair rows themselves carry only ids.
+    pb_pairs = pairs.map_batches(
+        lambda t: bucket_column(t, "a", n_buckets, "__vb"),
+        batch_format="pyarrow",
+    )
+
+    def need_rows(t: pa.Table) -> pa.Table:
+        df = t.select(["a", "b", "__vb"]).to_pandas()
+        out = pd.concat(
+            [
+                df[["a", "__vb"]].rename(columns={"a": "id"}),
+                df[["b", "__vb"]].rename(columns={"b": "id"}),
+            ]
+        ).drop_duplicates()
         return pa.table(
             {
-                "id": _ids_array(np.concatenate([a, b]), id_type),
-                "a": _ids_array(np.concatenate([a, a]), id_type),
-                "b": _ids_array(np.concatenate([b, b]), id_type),
-                "text": pa.nulls(2 * n, pa.string()),
-                "side": pa.array(
-                    np.concatenate(
-                        [np.zeros(n, np.int8), np.ones(n, np.int8)]
-                    )
-                ),
+                "id": _ids_array(out["id"].to_numpy(), id_type),
+                "vb": pa.array(out["__vb"].to_numpy().astype(np.int64)),
             }
         )
 
-    def text_rows(t: pa.Table) -> pa.Table:
+    needs = pb_pairs.map_batches(need_rows, batch_format="pyarrow")
+
+    # shuffle A (keyed by doc id): texts meet their need-rows; output is
+    # one (bucket, id, text) row per distinct need
+    def tag_needs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "id": t["id"],
+                "vb": t["vb"],
+                "text": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_texts(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         n = t.num_rows
         return pa.table(
             {
                 "id": pc.cast(t[id_col], id_type),
-                "a": pa.nulls(n, id_type),
-                "b": pa.nulls(n, id_type),
+                "vb": pa.nulls(n, pa.int64()),
                 "text": pc_cast_string(t[text_col]),
-                "side": pa.array(np.full(n, 2, np.int8)),
+                "side": pa.array(np.ones(n, np.int8)),
             }
         )
 
-    unioned = pairs.map_batches(pair_need_rows, batch_format="pandas").union(
-        needed.map_batches(text_rows, batch_format="pyarrow")
+    u1 = needs.map_batches(tag_needs, batch_format="pyarrow").union(
+        needed.map_batches(tag_texts, batch_format="pyarrow")
     )
-    by_id = unioned.map_batches(
-        lambda t: bucket_column(t, "id", n_buckets, "__vb"),
+    by_id = u1.map_batches(
+        lambda t: bucket_column(t, "id", n_buckets, "__ab"),
         batch_format="pyarrow",
     )
 
-    def attach_bucket(grp: pa.Table) -> pa.Table:
+    def place_bucket(grp: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        tmask = pc.equal(grp["side"], 2)
+        tmask = pc.equal(grp["side"], 1)
         tdf = grp.filter(tmask).select(["id", "text"]).to_pandas()
-        pdf = grp.filter(pc.invert(tmask)).select(
-            ["id", "a", "b", "side"]
-        ).to_pandas()
-        m = pdf.merge(tdf, on="id", how="inner")
-        return table_from_pandas(
-            m[["a", "b", "side", "text"]])
+        ndf = (
+            grp.filter(pc.invert(tmask))
+            .select(["id", "vb"])
+            .to_pandas()
+            .drop_duplicates()
+        )
+        m = ndf.merge(tdf, on="id", how="inner")
+        return pa.table(
+            {
+                "vb": pa.array(m["vb"].to_numpy().astype(np.int64)),
+                "id": _ids_array(m["id"].to_numpy(), id_type),
+                "text": pa.array(m["text"].astype(str).tolist(), pa.string()),
+            }
+        )
 
-    attached = by_id.groupby("__vb").map_groups(
-        attach_bucket, batch_format="pyarrow"
+    placed = by_id.groupby("__ab").map_groups(
+        place_bucket, batch_format="pyarrow"
     )
-    by_pair = attached.map_batches(
-        lambda t: bucket_column(t, "a", n_buckets, "__vb"),
-        batch_format="pyarrow",
+
+    # shuffle B (keyed by pair bucket): id-only pair rows + the bucket's
+    # text table co-locate; each task builds an id->text dict once and
+    # verifies with memoized reps
+    def tag_pairs(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "vb": t["__vb"].cast(pa.int64()),
+                "a": t["a"],
+                "b": t["b"],
+                "id": pa.nulls(n, id_type),
+                "text": pa.nulls(n, pa.string()),
+                "side": pa.array(np.zeros(n, np.int8)),
+            }
+        )
+
+    def tag_placed(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "vb": t["vb"],
+                "a": pa.nulls(n, id_type),
+                "b": pa.nulls(n, id_type),
+                "id": t["id"],
+                "text": t["text"],
+                "side": pa.array(np.ones(n, np.int8)),
+            }
+        )
+
+    u2 = pb_pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
+        placed.map_batches(tag_placed, batch_format="pyarrow")
     )
 
     def verify_bucket(grp: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        amask = pc.equal(grp["side"], 0)
-        ta = grp.filter(amask).select(["a", "b", "text"]).to_pandas()
-        tb = grp.filter(pc.invert(amask)).select(["a", "b", "text"]).to_pandas()
-        ta = ta.rename(columns={"text": "text_a"}).drop_duplicates(["a", "b"])
-        tb = tb.rename(columns={"text": "text_b"}).drop_duplicates(["a", "b"])
-        m = ta.merge(tb, on=["a", "b"], how="inner")
+        pmask = pc.equal(grp["side"], 0)
+        pdf = grp.filter(pmask).select(["a", "b"]).to_pandas().drop_duplicates()
+        tdf = grp.filter(pc.invert(pmask)).select(["id", "text"]).to_pandas()
+        texts_map = dict(zip(tdf["id"], tdf["text"]))
+        p = prep_fn if (prep_fn is not None and score_fn is not None) else str
+        s = score_fn if (prep_fn is not None and score_fn is not None) else (
+            lambda x, y: sim_fn(str(x), str(y))
+        )
+        reps: dict = {}
+
+        def rep_of(key):
+            r = reps.get(key)
+            if r is None:
+                t = texts_map.get(key)
+                r = reps[key] = None if t is None else p(str(t))
+            return r
+
         out_a, out_b, out_j = [], [], []
-        if prep_fn is not None and score_fn is not None:
-            # one rep per DOCUMENT (keyed by id), not per pair occurrence
-            reps: dict = {}
-
-            def rep_of(key, text):
-                r = reps.get(key)
-                if r is None:
-                    r = reps[key] = prep_fn(str(text))
-                return r
-
-            for a, b, x, y in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
-                ra = rep_of(a, x)
-                rb = rep_of(b, y)
+        use_prune = prep_fn is not None and score_fn is not None
+        for a, b in zip(pdf["a"], pdf["b"]):
+            ra = rep_of(a)
+            rb = rep_of(b)
+            if ra is None or rb is None:  # text side missing (shouldn't
+                continue                  # happen; semi-filter guarantees)
+            if use_prune:
                 try:  # size-ratio upper bound for set-like reps
                     la, lb = len(ra), len(rb)
                     if max(la, lb) and min(la, lb) / max(la, lb) < threshold:
                         continue
                 except TypeError:
                     pass
-                j = score_fn(ra, rb)
-                if j >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(int(j * 100))
-        else:
-            for a, b, x, y in zip(m["a"], m["b"], m["text_a"], m["text_b"]):
-                j = sim_fn(str(x), str(y))
-                if j >= threshold:
-                    out_a.append(a)
-                    out_b.append(b)
-                    out_j.append(int(j * 100))
+            j = s(ra, rb)
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(int(j * 100))
         return pa.table(
             {
                 "a": _ids_array(out_a, id_type),
@@ -552,7 +610,7 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
             }
         )
 
-    return by_pair.groupby("__vb").map_groups(
+    return u2.groupby("vb").map_groups(
         verify_bucket, batch_format="pyarrow"
     )
 
