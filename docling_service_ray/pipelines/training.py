@@ -1044,3 +1044,55 @@ def grouped_percentiles(sf_dir: str):
     return bucketed.groupby("__gp").map_groups(
         lambda g: pct_bucket(g.to_pandas()), batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# document chunking (the standard pre-tokenization step: one doc -> many
+# overlapping fixed-size chunks). Registered past the 50-query window;
+# oracle-verified by tests/test_interval_percentiles.py + the parity tool.
+# ---------------------------------------------------------------------------
+CHUNK_CHARS = 500
+CHUNK_OVERLAP = 100
+_CHUNK_STRIDE = CHUNK_CHARS - CHUNK_OVERLAP
+
+_CHUNK_SQL = (
+    f"WITH c AS (SELECT doc_id, text, unnest(range(0, "
+    f"CAST(CEIL(length(text) / {_CHUNK_STRIDE}.0) AS BIGINT))) AS i "
+    f"FROM documents) "
+    f"SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, "
+    f"substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), {CHUNK_CHARS}) "
+    f"AS chunk_text, "
+    f"CAST(length(substr(text, CAST(i * {_CHUNK_STRIDE} + 1 AS BIGINT), "
+    f"{CHUNK_CHARS})) AS BIGINT) AS n_chunk_chars FROM c"
+)
+
+
+@register("chunk_documents", _CHUNK_SQL)
+def chunk_documents(sf_dir: str):
+    """One-to-many chunking: fixed-size character chunks with overlap,
+    deterministic boundaries (start_k = k * stride while start < len;
+    the final chunk is short rather than padded; empty docs emit no
+    chunks). Runs as a per-batch expansion inside map_batches — chunk
+    rows never exist driver-side, and downstream stages (tokenize,
+    pack, embed) stream over the expanded Dataset."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def chunk(df: pd.DataFrame) -> pd.DataFrame:
+        ids, idxs, texts = [], [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            t = str(t)
+            for k, start in enumerate(range(0, len(t), _CHUNK_STRIDE)):
+                ids.append(i)
+                idxs.append(k)
+                texts.append(t[start : start + CHUNK_CHARS])
+        out = pd.DataFrame(
+            {
+                "doc_id": pd.array(ids, dtype="int64"),
+                "chunk_idx": pd.array(idxs, dtype="int64"),
+                "chunk_text": texts,
+            }
+        )
+        out["n_chunk_chars"] = out["chunk_text"].str.len().astype("int64")
+        return out
+
+    return ds.map_batches(chunk, batch_format="pandas")

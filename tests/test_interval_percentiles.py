@@ -34,7 +34,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["interval_join_events", "grouped_percentiles"]
+    "name", ["interval_join_events", "grouped_percentiles", "chunk_documents"]
 )
 def test_window_overflow_queries_match_oracle(ray_session, name):
     import __ray_entry__ as entry
