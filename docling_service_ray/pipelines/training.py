@@ -1096,3 +1096,17 @@ def chunk_documents(sf_dir: str):
         return out
 
     return ds.map_batches(chunk, batch_format="pandas")
+
+
+@register("pack_chunks")  # rows-only (stateful greedy packing — not SQL)
+def pack_chunks_query(sf_dir: str):
+    """Chunk the corpus, then pack chunks into 2000-char training
+    sequences (first-fit-decreasing per bucket); returns per-pack fill
+    stats. Invariants (every chunk packed exactly once, no pack over
+    budget, determinism across parallelism) are asserted in
+    tests/test_packing.py."""
+    from ..stages.packing import pack_chunks, pack_stats
+
+    chunks = chunk_documents(sf_dir)
+    packed = pack_chunks(chunks, budget=2000)
+    return pack_stats(packed, budget=2000)
