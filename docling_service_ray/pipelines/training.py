@@ -1110,3 +1110,24 @@ def pack_chunks_query(sf_dir: str):
     chunks = chunk_documents(sf_dir)
     packed = pack_chunks(chunks, budget=2000)
     return pack_stats(packed, budget=2000)
+
+
+_BPE_SQL_PATTERN = (
+    "''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+|\\s+"
+)
+
+
+@register(
+    "bpe_token_counts",
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+    f"'{_BPE_SQL_PATTERN}')) AS BIGINT) AS n_bpe_tokens FROM documents",
+)
+def bpe_token_counts(sf_dir: str):
+    """BPE-ish token-budget estimate per document (GPT-2-style ASCII
+    pre-tokenizer; same pattern evaluated by the DuckDB oracle)."""
+    from ..stages.text_analysis import bpe_token_count_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        bpe_token_count_batch, batch_format="pandas"
+    ).select_columns(["doc_id", "n_bpe_tokens"])

@@ -30,6 +30,27 @@ def token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFra
     return batch
 
 
+# ASCII adaptation of the public GPT-2 pre-tokenizer pattern (the
+# original uses \p{L}/\p{N} unicode classes and a trailing-space
+# lookahead; stdlib re lacks \p and DuckDB's RE2 lacks lookahead, so
+# both sides use THIS exact pattern — contractions, space-prefixed
+# letter runs, digit runs, punctuation runs, whitespace runs).
+BPE_ISH_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+|\s+"
+)
+_BPE_RE = re.compile(BPE_ISH_PATTERN)
+
+
+def bpe_token_count_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
+    """n_bpe_tokens = number of BPE-ish pre-tokenizer matches — the
+    standard LLM token-budget estimator (one vectorized .str.count of a
+    compiled pattern per batch)."""
+    s = batch[text_col].fillna("")
+    batch = batch.copy()
+    batch["n_bpe_tokens"] = s.str.count(_BPE_RE).astype("int64")
+    return batch
+
+
 def char_class_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataFrame:
     """ASCII char-class counts (quality-scoring raw features).
 

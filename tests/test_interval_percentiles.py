@@ -34,7 +34,9 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 @pytest.mark.parametrize(
-    "name", ["interval_join_events", "grouped_percentiles", "chunk_documents"]
+    "name",
+    ["interval_join_events", "grouped_percentiles", "chunk_documents",
+     "bpe_token_counts"]
 )
 def test_window_overflow_queries_match_oracle(ray_session, name):
     import __ray_entry__ as entry
