@@ -479,7 +479,18 @@ def q3_revenue(sf_dir: str):
         batch_format="pyarrow",
     )
 
-    joined = bucketed_hash_join(li_rev, orders, "o_orderkey", n_buckets=32)
+    # explicit schemas: li_rev's lineage contains the pre-aggregation
+    # shuffle, and a schema probe would execute it twice (see
+    # bucketed_hash_join docstring)
+    joined = bucketed_hash_join(
+        li_rev, orders, "o_orderkey", n_buckets=32,
+        lschema=pa.schema(
+            [("o_orderkey", pa.int64()), ("revenue_cents", pa.int64())]
+        ),
+        rschema=pa.schema(
+            [("o_orderkey", pa.int64()), ("o_orderpriority", pa.string())]
+        ),
+    )
 
     # global top-10 WITHOUT a global sort: each batch keeps its local
     # top-10 (bounded: 10 x n_batches rows reach the driver), final pick

@@ -500,7 +500,11 @@ def token_rarity(sf_dir: str):
             }
         )
 
-    doc_word = ds.map_batches(doc_tokens, batch_format="pandas")
+    # materialize the collapsed (doc, word, n) table once: BOTH the vocab
+    # aggregation and the join's left side consume it, and the join would
+    # additionally schema-probe the vocab shuffle — explicit schemas +
+    # one materialize keep tokenization and the vocab agg single-pass
+    doc_word = ds.map_batches(doc_tokens, batch_format="pandas").materialize()
     # vocabulary: total count per word (pre-collapsed input, word-keyed agg)
     vocab = bucketed_group_agg(
         doc_word.select_columns(["word", "n"]),
@@ -508,7 +512,13 @@ def token_rarity(sf_dir: str):
         {"c": ("n", "sum")},
         n_buckets=32,
     )
-    joined = bucketed_hash_join(doc_word, vocab, "word", n_buckets=32)
+    dw_schema = pa.schema(
+        [("doc_id", pa.int64()), ("word", pa.string()), ("n", pa.int64())]
+    )
+    joined = bucketed_hash_join(
+        doc_word, vocab, "word", n_buckets=32, lschema=dw_schema,
+        rschema=pa.schema([("word", pa.string()), ("c", pa.int64())]),
+    )
 
     def score(batch: pa.Table) -> pa.Table:
         n = batch["n"].to_numpy(zero_copy_only=False)
