@@ -51,12 +51,24 @@ def _registry() -> tuple[dict, dict]:
     # remaining rows-only ops — those have planted-dup/accuracy pytest
     # coverage and their QUALITY is now measured by the recall queries,
     # so they give up their window slots.
+    #
+    # There are now more oracle-backed queries than window slots, so a
+    # few that share their entire mechanism with an in-window sibling are
+    # demoted to group (4): they stay registered, oracle-checked by
+    # tests/test_oracle_parity.py, but yield their driver slot to a query
+    # that exercises a DISTINCT capability (set_union stands in for
+    # intersect/except, session+sliding for hourly, stratified_sample for
+    # sample_10pct, token_histogram for distinct_token_count,
+    # count_by_event_type for chars_by_source).
     flagship = ("extract_turns", "extract_meta", "stitch_convs",
                 "multimodal_features")
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
+    demoted = ("set_intersect", "set_except", "hourly_windows",
+               "chars_by_source", "distinct_token_count", "sample_10pct")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
-    ordered.update({k: v for k, v in queries.items() if k in oracles})
+    ordered.update({k: v for k, v in queries.items()
+                    if k in oracles and k not in demoted})
     ordered.update(queries)
     return ordered, oracles
 

@@ -1,0 +1,327 @@
+"""Distributed connected components over an edge Dataset.
+
+Near-dup pair sets are a GRAPH: pair-local policies ("drop the larger id
+of each verified pair", :func:`..stages.dedup.dedup_corpus`) act on edges
+one at a time, but "keep exactly one document per duplicate CLUSTER"
+needs the transitive closure — connected components. The reference has
+no graph operator at all (its dedup is a driver-side hash dict,
+``scripts/r2_migrate_xxhash.py:171``); this is an engine-completeness
+operator a 100 TB training-data pipeline needs.
+
+Algorithm: iterative min-label propagation (the Pregel/GraphX formulation)
+with DELTA frontiers —
+
+- every node starts labelled with its own id;
+- each round, nodes whose label changed last round (the *frontier*) push
+  their label to their neighbours; every node takes the min of its current
+  label and the pushed labels;
+- converged when the frontier is empty.
+
+The delta-frontier is sound because labels only decrease and edges are
+static: if a neighbour's label did not change in round k, its value was
+already folded into the node's label in round k-1.
+
+Scale shape: each round is one bucketed hash join (O(E) exchange of the
+static symmetric edge table + O(frontier) label rows — the shrinking
+frontier cuts the PUSHED row volume and the min-agg input, while the edge
+side re-shuffles at full size each round, the known cost of shuffle-based
+CC) plus one bucketed min-aggregation over O(nodes + pushed) rows;
+labels are materialized per round (iterative lineage
+would otherwise re-execute all prior rounds), and the frontier — the only
+thing the driver ever sees a COUNT of — shrinks geometrically after the
+first rounds. Round count is bounded by the largest component's diameter:
+duplicate clusters are near-cliques (diameter 2-3 in practice), so the
+loop is short; ``max_rounds`` guards pathological chains loudly.
+
+Label order: the component representative is the MINIMUM id — numeric
+order for integer ids, lexicographic for string ids (consistent with the
+per-bucket pandas ``min``).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .hashing import bucket_column
+from .joins import bucketed_hash_join
+
+logger = logging.getLogger(__name__)
+
+_BUCKET = "__cc_bucket"
+_SIDE = "__cc_side"
+
+
+def _key_type(typ: pa.DataType) -> pa.DataType:
+    """Normalize a node-id Arrow type (same contract as the dedup chain:
+    integer or string, anything else fails at the API boundary)."""
+    if pa.types.is_integer(typ):
+        return pa.int64()
+    if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+        return pa.large_string()
+    raise TypeError(
+        f"connected_components node ids must be integer or string, got {typ}"
+    )
+
+
+def _ids(values, id_type: pa.DataType) -> pa.Array:
+    if isinstance(values, np.ndarray) and values.dtype == object:
+        values = values.tolist()
+    return pa.array(values, id_type)
+
+
+def _broadcast_round(edges_sym, labels, frontier, id_type: pa.DataType):
+    """One map-only propagation round for a small frontier.
+
+    The frontier's ``(node, label)`` rows are collected (bounded by the
+    caller's ``broadcast_frontier_max``) and ``ray.put`` once; every edge
+    block looks them up map-side and emits its per-block min pushed label
+    per neighbour; the driver combines those partial mins (rows bounded
+    by the frontier's distinct neighbours) and broadcasts them back over
+    the label blocks for a map-side min-update. No shuffle, no sort —
+    and, unlike the shuffle regime, the round's block count stays exactly
+    the label table's block count, so repeated rounds don't fragment
+    blocks or grow sort cost."""
+    import ray
+
+    fdf = frontier.to_pandas()
+    fmap = pd.Series(fdf["label"].to_numpy(), index=fdf["node"].to_numpy())
+    fref = ray.put(fmap)
+
+    def push_partial(t: pa.Table) -> pa.Table:
+        fm = ray.get(fref)
+        node = t["node"].to_numpy(zero_copy_only=False)
+        nbr = t["nbr"].to_numpy(zero_copy_only=False)
+        lab = pd.Series(node).map(fm)
+        hit = lab.notna().to_numpy()
+        if not hit.any():
+            return pa.table({"node": _ids([], id_type),
+                             "label": _ids([], id_type)})
+        g = (pd.Series(lab.to_numpy()[hit], index=nbr[hit])
+             .groupby(level=0, sort=False).min())
+        return pa.table({"node": _ids(g.index.to_numpy(), id_type),
+                         "label": _ids(g.to_numpy(), id_type)})
+
+    pushed = edges_sym.map_batches(
+        push_partial, batch_format="pyarrow"
+    ).to_pandas()
+    if len(pushed) == 0:
+        empty = frontier.map_batches(
+            lambda t: t.slice(0, 0), batch_format="pyarrow"
+        ).materialize()
+        return labels, empty
+    pmap = pushed.groupby("node", sort=False)["label"].min()
+    pref = ray.put(pmap)
+
+    def apply_push(t: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        node = pd.Series(t["node"].to_numpy(zero_copy_only=False))
+        lab = t["label"].to_numpy(zero_copy_only=False).copy()
+        hit = node.isin(pm.index).to_numpy()
+        changed = np.zeros(len(node), np.int8)
+        if hit.any():
+            pushed_vals = pm.loc[node[hit]].to_numpy()
+            cur = lab[hit]
+            take = pushed_vals < cur
+            if take.any():
+                new_sub = cur.copy()
+                new_sub[take] = pushed_vals[take]
+                lab[hit] = new_sub
+                changed[np.flatnonzero(hit)[take]] = 1
+        return pa.table({"node": _ids(node.to_numpy(), id_type),
+                         "label": _ids(lab, id_type),
+                         "changed": pa.array(changed)})
+
+    merged = labels.map_batches(apply_push, batch_format="pyarrow").materialize()
+    import pyarrow.compute as pc
+
+    new_labels = merged.select_columns(["node", "label"])
+    new_frontier = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["changed"], 1)).select(
+            ["node", "label"]),
+        batch_format="pyarrow",
+    ).materialize()
+    return new_labels, new_frontier
+
+
+def connected_components(edges, *, src: str = "a", dst: str = "b",
+                         nodes=None, node_col: str | None = None,
+                         n_buckets: int = 32, max_rounds: int = 64,
+                         id_type: pa.DataType | None = None,
+                         broadcast_frontier_max: int = 65536):
+    """Connected components of the undirected graph given by ``edges``.
+
+    Returns a Dataset ``(node, component)`` with one row per distinct
+    node, where ``component`` is the minimum node id reachable from it.
+    ``nodes`` (optional, with id column ``node_col``) adds isolated
+    vertices that appear in no edge — they come back as their own
+    singleton component.
+
+    Rounds run in one of two regimes, picked per round from the (free,
+    metadata-only) frontier count:
+
+    - **shuffle regime** (frontier > ``broadcast_frontier_max``): the
+      general 2-shuffle round described in the module docstring.
+    - **broadcast tail** (frontier <= ``broadcast_frontier_max``): the
+      frontier's labels are collected to the driver, ``ray.put`` ONCE,
+      and the whole round is map-only — push = a map over the
+      (materialized) edge blocks against the broadcast frontier dict,
+      partial-min'd per block; update = a map over the label blocks
+      against the broadcast combined push. Zero shuffles. Because label
+      propagation's frontier shrinks geometrically after the first
+      rounds, most rounds of a big run — and EVERY round of a small one
+      — take this path. Driver memory is bounded by the frontier's
+      labels plus the per-block-min'd pushes (O(distinct neighbours of
+      the frontier)); lower the threshold for hub-heavy graphs.
+
+    Pass ``id_type`` when the edge dataset's lineage contains a shuffle
+    (e.g. verified near-dup pairs): probing ``.schema()`` on such a
+    dataset silently executes the upstream once (see
+    ``bucketed_hash_join``'s docstring).
+    """
+    from .arrow_util import arrow_schema_of
+
+    if id_type is None:
+        id_type = _key_type(arrow_schema_of(edges).field(src).type)
+    else:
+        id_type = _key_type(id_type)
+
+    # ---- symmetric edge table (node -> nbr), reused every round --------
+    def symmetrize(t: pa.Table) -> pa.Table:
+        a, b = t[src], t[dst]
+        return pa.table({
+            "node": pa.chunked_array([a.combine_chunks(), b.combine_chunks()]).cast(id_type),
+            "nbr": pa.chunked_array([b.combine_chunks(), a.combine_chunks()]).cast(id_type),
+        })
+
+    # materialized ONCE: the symmetric table is re-joined every round, and
+    # node_rows below reads from it too — deriving node_rows from the raw
+    # ``edges`` lineage instead would silently re-execute the entire
+    # upstream (e.g. a full minhash LSH + verify chain) a second time
+    edges_sym = edges.select_columns([src, dst]).map_batches(
+        symmetrize, batch_format="pyarrow"
+    ).materialize()
+
+    # ---- initial labels: every distinct node labelled with itself ------
+    # edges_sym's "node" column already holds both endpoints of every edge
+    def edge_nodes(t: pa.Table) -> pa.Table:
+        uniq = t["node"].combine_chunks().unique()  # pre-shuffle dedup
+        return pa.table({"node": uniq})
+
+    node_rows = edges_sym.select_columns(["node"]).map_batches(
+        edge_nodes, batch_format="pyarrow"
+    )
+    if nodes is not None:
+        if node_col is None:
+            raise ValueError("nodes dataset requires node_col")
+
+        def extra_nodes(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": t[node_col].combine_chunks().cast(id_type).unique()
+            })
+
+        node_rows = node_rows.union(
+            nodes.select_columns([node_col]).map_batches(
+                extra_nodes, batch_format="pyarrow"
+            )
+        )
+
+    def distinct_bucket(grp: pa.Table) -> pa.Table:
+        uniq = grp["node"].combine_chunks().unique()
+        return pa.table({"node": uniq, "label": uniq})
+
+    labels = node_rows.map_batches(
+        lambda t: bucket_column(t, "node", n_buckets, _BUCKET),
+        batch_format="pyarrow",
+    ).groupby(_BUCKET).map_groups(
+        distinct_bucket, batch_format="pyarrow"
+    ).materialize()
+
+    frontier = labels  # round 0: every node is newly labelled
+    label_schema = pa.schema([("node", id_type), ("label", id_type)])
+    edge_schema = pa.schema([("node", id_type), ("nbr", id_type)])
+
+    def min_label_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        new = df.groupby("node", sort=False)["label"].min()
+        old = df.loc[df[_SIDE] == 0].set_index("node")["label"]
+        old = old.reindex(new.index)  # every node has a side-0 self row
+        changed = (new.to_numpy() != old.to_numpy())
+        return pa.table({
+            "node": _ids(new.index.to_numpy(), id_type),
+            "label": _ids(new.to_numpy(), id_type),
+            "changed": pa.array(changed, pa.int8()),
+        })
+
+    for rnd in range(1, max_rounds + 1):
+        n_front = frontier.count()  # materialized: metadata read, no work
+        if n_front == 0:
+            break
+        if n_front <= broadcast_frontier_max:
+            labels, frontier = _broadcast_round(
+                edges_sym, labels, frontier, id_type)
+            logger.info(
+                "connected_components round %d (broadcast): frontier=%d",
+                rnd, frontier.count())
+            continue
+        # push frontier labels across edges: (node, nbr, label) -> (nbr, label)
+        pushed = bucketed_hash_join(
+            edges_sym, frontier.select_columns(["node", "label"]),
+            "node", n_buckets=n_buckets,
+            lschema=edge_schema, rschema=label_schema,
+        ).map_batches(
+            lambda t: pa.table({"node": t["nbr"], "label": t["label"],
+                                _SIDE: pa.array(np.ones(t.num_rows, np.int8))}),
+            batch_format="pyarrow",
+        )
+        current = labels.select_columns(["node", "label"]).map_batches(
+            lambda t: t.append_column(
+                _SIDE, pa.array(np.zeros(t.num_rows, np.int8))),
+            batch_format="pyarrow",
+        )
+        merged = current.union(pushed).map_batches(
+            lambda t: bucket_column(t, "node", n_buckets, _BUCKET),
+            batch_format="pyarrow",
+        ).groupby(_BUCKET).map_groups(
+            min_label_bucket, batch_format="pyarrow"
+        ).materialize()
+        labels = merged.select_columns(["node", "label"])
+        import pyarrow.compute as pc
+
+        frontier = merged.map_batches(
+            lambda t: t.filter(pc.equal(t["changed"], 1)).select(
+                ["node", "label"]),
+            batch_format="pyarrow",
+        ).materialize()
+        logger.info("connected_components round %d: frontier=%d",
+                    rnd, frontier.count())
+    else:
+        if frontier.count() > 0:
+            raise RuntimeError(
+                f"connected_components did not converge in {max_rounds} "
+                "rounds (component diameter exceeds max_rounds; raise it)"
+            )
+
+    return labels.map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+    )
+
+
+def cluster_representatives(components, *, keep: str = "min"):
+    """From a ``(node, component)`` assignment, the kept ids — one
+    representative per cluster. ``keep='min'`` keeps the component label
+    itself (the minimum member), a pure filter with no extra shuffle."""
+    if keep != "min":
+        raise ValueError("only keep='min' is implemented")
+    import pyarrow.compute as pc
+
+    return components.map_batches(
+        lambda t: pa.table(
+            {"node": t.filter(pc.equal(t["node"], t["component"]))["node"]}
+        ),
+        batch_format="pyarrow",
+    )

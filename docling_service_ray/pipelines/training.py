@@ -1141,3 +1141,96 @@ def bpe_token_counts(sf_dir: str):
     return ds.map_batches(
         bpe_token_count_batch, batch_format="pandas"
     ).select_columns(["doc_id", "n_bpe_tokens"])
+
+
+# ---------------------------------------------------------------------------
+# graph: connected components / duplicate clusters
+# ---------------------------------------------------------------------------
+@register(
+    "connected_components",
+    # chain edges (d, d-1) for d % 4 != 0 over contiguous doc ids =>
+    # components are runs of 4 consecutive ids; min member = d - d % 4
+    # (diameter 3 — the duplicate-cluster regime the operator targets;
+    # each extra hop costs a full propagation round = 2 shuffles)
+    "SELECT doc_id AS node, CAST(doc_id - doc_id % 4 AS BIGINT) AS component "
+    "FROM documents",
+)
+def connected_components_query(sf_dir: str):
+    """Distributed connected components (min-label propagation, delta
+    frontiers) on a deterministic chain graph derived from doc ids —
+    chains of length 4, so convergence takes multiple propagation rounds
+    (the oracle knows the closed form, the engine runs the general
+    algorithm).
+    """
+    import pyarrow as pa
+
+    from ..functions.graph import connected_components
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = d[d % 4 != 0]
+        return pa.table({"a": pa.array(d, pa.int64()),
+                         "b": pa.array(d - 1, pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return connected_components(
+        edges, nodes=ds, node_col="doc_id", id_type=pa.int64()
+    )
+
+
+@register("neardup_clusters")  # rows-only: transitive duplicate clusters
+def neardup_clusters_query(sf_dir: str):
+    """Cluster assignment for every document in a verified near-dup pair
+    (planted corpus): minhash pairs -> connected components. Pairs are
+    approximate (LSH), so the strong gate is the planted-cluster pytest
+    (tests/test_graph.py) plus the recall row in ``neardup_recall``."""
+    from ..stages.dedup import neardup_clusters
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    corpus = _planted_corpus(ds)
+    return neardup_clusters(corpus, threshold=0.8)
+
+
+# ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+@register(
+    "contamination",
+    # probe set = every 50th document's word-3-grams; a corpus doc is
+    # contaminated when it shares >= 1 distinct 3-gram with the probe
+    "WITH toks AS ("
+    "  SELECT doc_id,"
+    "         unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w,"
+    "         generate_subscripts(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), 1) AS i"
+    "  FROM documents), "
+    "grams AS ("
+    "  SELECT t1.doc_id, t1.w || ' ' || t2.w || ' ' || t3.w AS g"
+    "  FROM toks t1"
+    "  JOIN toks t2 ON t2.doc_id = t1.doc_id AND t2.i = t1.i + 1"
+    "  JOIN toks t3 ON t3.doc_id = t1.doc_id AND t3.i = t1.i + 2), "
+    "probe AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0), "
+    "hits AS (SELECT DISTINCT d.doc_id, d.g FROM grams d JOIN probe USING (g)"
+    "         WHERE d.doc_id % 50 <> 0) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM hits GROUP BY doc_id",
+)
+def contamination(sf_dir: str):
+    """Train/test decontamination: corpus docs sharing any word-3-gram
+    with the probe slice (every 50th doc stands in for a benchmark set).
+    Distributed semi-join on gram strings — see
+    :func:`..stages.text_analysis.ngram_contamination`."""
+    import pyarrow as pa
+
+    from ..stages.text_analysis import ngram_contamination
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_probe: bool):
+        def filt(t: pa.Table) -> pa.Table:
+            is_probe = t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(is_probe if want_probe else ~is_probe))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    return ngram_contamination(split(False), split(True), n=3)

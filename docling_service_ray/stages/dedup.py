@@ -735,6 +735,36 @@ def dedup_corpus(ds, *, id_col: str = "doc_id", text_col: str = "text",
                        n_buckets=n_buckets)
 
 
+def neardup_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                     threshold: float = 0.8, n_buckets: int = 32):
+    """Transitive near-dup CLUSTERS: verified minhash pairs -> connected
+    components -> ``(node, cluster)`` with cluster = min member id.
+
+    :func:`dedup_corpus` resolves pairs locally (drop the larger id of
+    each pair), which can keep two documents that are both near-dups of a
+    third but were never compared directly; this is the cluster-exact
+    variant — one representative per component, the standard keep-one
+    policy for training-data dedup. Only documents that belong to SOME
+    verified pair appear in the output (singletons are implicit).
+
+    Scale shape: the pair set is the only input to the component loop
+    (O(pairs), tiny next to the corpus); see
+    :mod:`..functions.graph` for the per-round shuffle cost."""
+    from ..functions.graph import connected_components
+
+    id_type = _id_arrow_type(ds, id_col)
+    pairs = minhash_lsh_pairs(
+        ds, id_col=id_col, text_col=text_col, threshold=threshold,
+        id_type=id_type,
+    )
+    comp = connected_components(pairs, src="a", dst="b",
+                                n_buckets=n_buckets, id_type=id_type)
+    return comp.map_batches(
+        lambda t: pa.table({"node": t["node"], "cluster": t["component"]}),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------

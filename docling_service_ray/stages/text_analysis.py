@@ -194,3 +194,56 @@ class LangId:
     def __call__(self, batch: pa.Table) -> pa.Table:
         preds = [self.classify(t) for t in batch["text"].to_pylist()]
         return batch.append_column("lang_pred", pa.array(preds, pa.string()))
+
+
+# ---------------------------------------------------------------------------
+# decontamination: word-n-gram overlap against a probe (benchmark) set
+# ---------------------------------------------------------------------------
+def doc_ngrams(ds, *, id_col: str = "doc_id", text_col: str = "text",
+               n: int = 3, id_type: pa.DataType | None = None):
+    """``(id, g)`` rows: the DISTINCT word n-grams of each document
+    (whitespace tokens, space-joined) — the unit of train/test
+    decontamination. Grams are deduped per document BEFORE the shuffle,
+    so the exchange moves each document's gram set once."""
+    from ..functions.arrow_util import arrow_schema_of
+
+    if id_type is None:
+        id_type = arrow_schema_of(ds).field(id_col).type
+
+    def grams(df: pd.DataFrame) -> pa.Table:
+        out_id, out_g = [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            w = str(t).split()
+            gs = sorted({" ".join(w[j:j + n]) for j in range(len(w) - n + 1)})
+            out_id.extend([i] * len(gs))
+            out_g.extend(gs)
+        return pa.table({id_col: pa.array(out_id, id_type),
+                         "g": pa.array(out_g, pa.string())})
+
+    return ds.map_batches(grams, batch_format="pandas")
+
+
+def ngram_contamination(docs, probe, *, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        n_buckets: int = 64):
+    """Contaminated documents: ``(id, n_hits)`` where ``n_hits`` counts the
+    distinct word n-grams a document shares with ANY probe text (the
+    standard benchmark-decontamination check for training corpora).
+
+    Scale shape: both sides explode to per-doc-deduped gram rows; overlap
+    is a DISTRIBUTED bucketed semi-join on the gram string (probe sets —
+    benchmark suites — are usually tiny, but nothing here collects them
+    on the driver, so an arbitrarily large probe side works); hit counts
+    come from one bucketed per-doc aggregation. The corpus text itself is
+    read once and never re-shuffled."""
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.joins import bucketed_semi_anti_join
+
+    dg = doc_ngrams(docs, id_col=id_col, text_col=text_col, n=n)
+    pg = doc_ngrams(probe, id_col=id_col, text_col=text_col, n=n)
+    hits = bucketed_semi_anti_join(
+        dg, pg.select_columns(["g"]), "g", keep_matches=True,
+        n_buckets=n_buckets,
+    )
+    return bucketed_group_agg(hits, [id_col], {"n_hits": ("g", "count")},
+                              n_buckets=n_buckets)

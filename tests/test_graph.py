@@ -1,0 +1,176 @@
+"""Distributed connected components vs a local union-find oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _uf_components(edges, nodes):
+    """Local union-find: node -> min id of its component."""
+    parent = {n: n for n in nodes}
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp = {}
+    for n in parent:
+        comp.setdefault(find(n), []).append(n)
+    return {n: min(members) for members in comp.values() for n in members}
+
+
+def _cc_df(edges_tbl, **kw):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import connected_components
+
+    return (
+        connected_components(rd.from_arrow(edges_tbl), **kw)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+
+def test_chain_isolated_and_reps(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import (
+        cluster_representatives,
+        connected_components,
+    )
+
+    edges = pa.table({"a": [1, 2, 3, 5], "b": [0, 1, 2, 4]})
+    nodes = rd.from_arrow(pa.table({"id": list(range(7))}))
+    comp = connected_components(
+        rd.from_arrow(edges), nodes=nodes, node_col="id", id_type=pa.int64()
+    )
+    df = comp.to_pandas().sort_values("node").reset_index(drop=True)
+    assert df["node"].tolist() == list(range(7))
+    # chain of 4 needs multiple propagation rounds to reach the far end
+    assert df["component"].tolist() == [0, 0, 0, 0, 4, 4, 6]
+    reps = sorted(cluster_representatives(comp).to_pandas()["node"])
+    assert reps == [0, 4, 6]
+
+
+def test_random_graph_matches_union_find(ray_session):
+    # random edges restricted to id-blocks of 6: components have bounded
+    # diameter (<= 5), keeping the round count — and test wall-time — flat
+    # while still exercising merges, cycles, and singletons
+    rng = np.random.default_rng(7)
+    n_blocks, blk = 60, 6
+    base = rng.integers(0, n_blocks, 250) * blk
+    a = base + rng.integers(0, blk, 250)
+    b = base + rng.integers(0, blk, 250)
+    keep = a != b
+    edge_list = list(zip(a[keep].tolist(), b[keep].tolist()))
+    expected = _uf_components(edge_list, nodes=set())
+
+    df = _cc_df(pa.table({"a": a[keep], "b": b[keep]}))
+    got = dict(zip(df["node"], df["component"]))
+    assert got == expected
+
+
+def test_random_graph_shuffle_regime(ray_session):
+    # same graph, broadcast tail disabled: pins the 2-shuffle general
+    # path (the regime big frontiers take) to the union-find oracle
+    rng = np.random.default_rng(11)
+    n_blocks, blk = 40, 5
+    base = rng.integers(0, n_blocks, 150) * blk
+    a = base + rng.integers(0, blk, 150)
+    b = base + rng.integers(0, blk, 150)
+    keep = a != b
+    expected = _uf_components(list(zip(a[keep].tolist(), b[keep].tolist())),
+                              nodes=set())
+    df = _cc_df(pa.table({"a": a[keep], "b": b[keep]}),
+                broadcast_frontier_max=0)
+    got = dict(zip(df["node"], df["component"]))
+    assert got == expected
+
+
+def test_string_ids(ray_session):
+    df = _cc_df(pa.table({"a": ["x", "y", "q"], "b": ["y", "z", "r"]}))
+    got = dict(zip(df["node"], df["component"]))
+    assert got == {"x": "x", "y": "x", "z": "x", "q": "q", "r": "q"}
+
+
+def test_empty_edges_only_nodes(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import connected_components
+
+    edges = rd.from_arrow(
+        pa.table({"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64())})
+    )
+    nodes = rd.from_arrow(pa.table({"id": [3, 1, 2]}))
+    df = (
+        connected_components(edges, nodes=nodes, node_col="id",
+                             id_type=pa.int64())
+        .to_pandas().sort_values("node")
+    )
+    assert df["node"].tolist() == df["component"].tolist() == [1, 2, 3]
+
+
+def test_max_rounds_raises(ray_session):
+    from docling_service_ray.functions.graph import connected_components
+    import ray.data as rd
+
+    # a 12-chain has diameter 11 > 2 rounds
+    edges = rd.from_arrow(
+        pa.table({"a": list(range(1, 12)), "b": list(range(0, 11))})
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_rounds=2, id_type=pa.int64())
+
+
+def test_bad_id_dtype_rejected(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import connected_components
+
+    edges = rd.from_arrow(pa.table({"a": [1.5], "b": [2.5]}))
+    with pytest.raises(TypeError, match="integer or string"):
+        connected_components(edges)
+
+
+def test_neardup_clusters_planted(ray_session):
+    """minhash pairs -> components: every planted copy lands in its
+    original's cluster, labelled by the original (min id)."""
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import neardup_clusters
+
+    # doc-UNIQUE tokens: base docs share nothing, so the only verified
+    # pairs are (original, planted copy) — components are exact pairs and
+    # min-label propagation converges in one round. (A periodic shared
+    # vocabulary would make the base docs genuine near-dups of each
+    # other: chains, big diameters, slow rounds, wrong expectations.)
+    base = [
+        " ".join(f"d{i}w{j}" for j in range(60))
+        for i in range(40)
+    ]
+    rows = {"doc_id": [], "text": []}
+    for i, t in enumerate(base):
+        rows["doc_id"].append(i)
+        rows["text"].append(t)
+        if i % 4 == 0:  # plant a near-identical copy
+            words = t.split()
+            words[5] = "plantedvariant"
+            rows["doc_id"].append(1000 + i)
+            rows["text"].append(" ".join(words))
+    ds = rd.from_arrow(pa.table(rows))
+    comp = neardup_clusters(ds, threshold=0.8).to_pandas()
+    got = dict(zip(comp["node"], comp["cluster"]))
+    for i in range(0, 40, 4):
+        assert got.get(1000 + i) == i, (i, got.get(1000 + i))
