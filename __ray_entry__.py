@@ -64,7 +64,8 @@ def _registry() -> tuple[dict, dict]:
                 "multimodal_features")
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
     demoted = ("set_intersect", "set_except", "hourly_windows",
-               "chars_by_source", "distinct_token_count", "sample_10pct")
+               "chars_by_source", "distinct_token_count", "sample_10pct",
+               "sliding_windows")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

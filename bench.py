@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "fingerprints",
     "ann_topk",
     "dedup_embedding",
+    "connected_components",
+    "passage_dedup",
+    "contamination",
+    "kmeans_clusters",
 ]
 
 

@@ -1193,6 +1193,80 @@ def neardup_clusters_query(sf_dir: str):
     return neardup_clusters(corpus, threshold=0.8)
 
 
+@register(
+    "passage_dedup",
+    # disjoint 10-word windows per doc (trailing partial dropped); one row
+    # per distinct passage with its copy count and the lexicographically
+    # first (doc, widx) occurrence — the kept one
+    "WITH toks AS ("
+    "  SELECT doc_id,"
+    "         unnest(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS w,"
+    "         generate_subscripts(string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+'), 1) AS i"
+    "  FROM documents), "
+    "win AS ("
+    "  SELECT doc_id, CAST((i - 1) // 10 AS BIGINT) AS widx,"
+    "         string_agg(w, ' ' ORDER BY i) AS passage"
+    "  FROM toks GROUP BY doc_id, (i - 1) // 10"
+    "  HAVING count(*) = 10), "
+    "agg AS ("
+    "  SELECT passage, CAST(count(*) AS BIGINT) AS n_copies,"
+    "         min(doc_id) AS keep_doc"
+    "  FROM win GROUP BY passage) "
+    "SELECT a.passage, a.n_copies, a.keep_doc, min(w.widx) AS keep_widx "
+    "FROM agg a JOIN win w ON w.passage = a.passage AND w.doc_id = a.keep_doc "
+    "GROUP BY a.passage, a.n_copies, a.keep_doc",
+)
+def passage_dedup_query(sf_dir: str):
+    """Exact repeated-passage dedup (C4/RefinedWeb-style span removal,
+    keep first occurrence) — see :func:`..stages.dedup.passage_dedup`."""
+    from ..stages.dedup import passage_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return passage_dedup(ds, width=10)
+
+
+@register("kmeans_clusters")  # rows-only: iterative, not SQL-expressible
+def kmeans_clusters_query(sf_dir: str):
+    """Distributed Lloyd k-means over the embeddings table: fit k=8
+    centroids (map-only partial-sum iterations, centroids broadcast per
+    round), then assign every vector. Planted-blob recovery and bitwise
+    determinism are pinned in tests/test_clustering.py."""
+    from ..stages.clustering import kmeans_assign, kmeans_fit
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    cents, _ = kmeans_fit(ds, 8, iters=4)
+    return kmeans_assign(ds, cents).select_columns(["vec_id", "cluster"])
+
+
+@register("semdedup_embeddings")  # rows-only: planted near-identical copies
+def semdedup_embeddings_query(sf_dir: str):
+    """SemDeDup over the embeddings table with planted near-identical
+    copies (every 25th vector, id + 1_000_000, tiny perturbation): the
+    copies must come back keep=False with dup_of = the original. The
+    strong gate is the planted-copy pytest; this query records the
+    corpus-scale row shape for the driver."""
+    import numpy as np
+
+    from ..stages.clustering import semantic_dedup
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    def plant(df: pd.DataFrame) -> pd.DataFrame:
+        ids, vecs = [], []
+        for i, v in zip(df["vec_id"], df["embedding"]):
+            ids.append(int(i))
+            vecs.append(v)
+            if int(i) % 25 == 0:
+                w = np.asarray(v, dtype=np.float32)
+                w = w + np.float32(1e-4) * (1.0 + w * 0)
+                ids.append(int(i) + 1_000_000)
+                vecs.append(w.tolist())
+        return pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    planted = ds.map_batches(plant, batch_format="pandas")
+    return semantic_dedup(planted, k=8, threshold=0.999, iters=3)
+
+
 # ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------

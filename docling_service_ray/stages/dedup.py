@@ -765,6 +765,61 @@ def neardup_clusters(ds, *, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def passage_windows(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    width: int = 10):
+    """``(id, widx, passage)``: each document's disjoint ``width``-word
+    windows (whitespace tokens, space-joined); trailing partial windows
+    are dropped. The unit of exact repeated-span dedup."""
+
+    def win(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_w, out_p = [], [], []
+        for i, t in zip(df[id_col], df[text_col]):
+            w = str(t).split()
+            for j in range(len(w) // width):
+                out_d.append(i)
+                out_w.append(j)
+                out_p.append(" ".join(w[j * width:(j + 1) * width]))
+        return pd.DataFrame({id_col: out_d, "widx": out_w, "passage": out_p})
+
+    return ds.map_batches(win, batch_format="pandas")
+
+
+def passage_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                  width: int = 10, n_buckets: int = 64):
+    """Exact repeated-passage dedup across the corpus (the C4/RefinedWeb
+    "remove repeated spans, keep the first occurrence" policy, at
+    disjoint ``width``-word granularity).
+
+    One row per DISTINCT passage: ``(passage, n_copies, keep_doc,
+    keep_widx)`` where the kept occurrence is the lexicographically first
+    ``(doc, widx)``. Scale shape: docs explode to passage rows map-side,
+    then ONE hash-bucketed exchange on the passage string and a per-bucket
+    vectorized reduce — no driver-side state, no second shuffle."""
+    from ..functions.hashing import bucket_column
+
+    wins = passage_windows(ds, id_col=id_col, text_col=text_col, width=width)
+    bucketed = wins.map_batches(
+        lambda t: bucket_column(t, "passage", n_buckets, "__pb"),
+        batch_format="pyarrow",
+    )
+
+    def reduce_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__pb"]).to_pandas()
+        df = df.sort_values(["passage", id_col, "widx"], kind="mergesort")
+        firsts = df.drop_duplicates("passage", keep="first")
+        counts = df.groupby("passage", sort=False).size()
+        return table_from_pandas(pd.DataFrame({
+            "passage": firsts["passage"].to_numpy(),
+            "n_copies": counts.loc[firsts["passage"]].to_numpy().astype("int64"),
+            "keep_doc": firsts[id_col].to_numpy(),
+            "keep_widx": firsts["widx"].to_numpy().astype("int64"),
+        }))
+
+    return bucketed.groupby("__pb").map_groups(
+        reduce_bucket, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # SimHash near-dup
 # ---------------------------------------------------------------------------
