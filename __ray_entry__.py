@@ -61,11 +61,11 @@ def _registry() -> tuple[dict, dict]:
     # sample_10pct, token_histogram for distinct_token_count,
     # count_by_event_type for chars_by_source).
     flagship = ("extract_turns", "extract_meta", "stitch_convs",
-                "multimodal_features")
+                "multimodal_features", "curation_pipeline")
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
     demoted = ("set_intersect", "set_except", "hourly_windows",
                "chars_by_source", "distinct_token_count", "sample_10pct",
-               "sliding_windows")
+               "sliding_windows", "retention_filter")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -1225,6 +1225,35 @@ def passage_dedup_query(sf_dir: str):
     return passage_dedup(ds, width=10)
 
 
+@register("curation_pipeline")  # rows-only: the end-to-end composition
+def curation_pipeline_query(sf_dir: str):
+    """The flagship training-data curation flow: quality filter -> exact
+    + minhash near-dedup -> decontamination vs the probe slice (every
+    50th doc) -> overlapping chunking -> first-fit-decreasing packing.
+    Returns per-pack fill stats. Stage-by-stage invariants (dropped docs
+    absent, packs within budget, determinism) are pinned in
+    tests/test_curation.py; each constituent stage also has its own
+    strict-oracle query."""
+    import pyarrow as pa
+
+    from .curation import curate
+    from ..stages.packing import pack_stats
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def split(want_probe: bool):
+        def filt(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            is_probe = t["doc_id"].to_numpy(zero_copy_only=False) % 50 == 0
+            return t.filter(pa.array(is_probe if want_probe else ~is_probe))
+
+        return ds.map_batches(filt, batch_format="pyarrow")
+
+    packed, _ = curate(split(False), split(True))
+    return pack_stats(packed, budget=2000)
+
+
 @register("kmeans_clusters")  # rows-only: iterative, not SQL-expressible
 def kmeans_clusters_query(sf_dir: str):
     """Distributed Lloyd k-means over the embeddings table: fit k=8
