@@ -65,7 +65,8 @@ def _registry() -> tuple[dict, dict]:
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
     demoted = ("set_intersect", "set_except", "hourly_windows",
                "chars_by_source", "distinct_token_count", "sample_10pct",
-               "sliding_windows", "retention_filter")
+               "sliding_windows", "retention_filter", "canonical_refs",
+               "top_recent")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

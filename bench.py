@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "passage_dedup",
     "contamination",
     "kmeans_clusters",
+    "tfidf_topk",
+    "repetition_ratio",
 ]
 
 

@@ -1225,6 +1225,109 @@ def passage_dedup_query(sf_dir: str):
     return passage_dedup(ds, width=10)
 
 
+_TRIM = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+
+
+@register(
+    "tfidf_topk",
+    # fixed-point tf-over-df score (integer-exact on both sides; rank-
+    # equivalent to tf-idf's "frequent here, rare elsewhere" signal
+    # without float log divergence): score = tf * 1e6 // df
+    "WITH toks AS ("
+    f"  SELECT doc_id, unnest(string_split_regex({_TRIM}, '\\s+')) AS tok"
+    f"  FROM documents WHERE {_TRIM} <> ''), "
+    "tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf"
+    "       FROM toks GROUP BY doc_id, tok), "
+    "df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok), "
+    "scored AS ("
+    "  SELECT t.doc_id, t.tok, t.tf, d.df, t.tf * 1000000 // d.df AS score"
+    "  FROM tf t JOIN df d USING (tok)) "
+    "SELECT doc_id, tok, tf, df, score, rank FROM ("
+    "  SELECT *, ROW_NUMBER() OVER ("
+    "    PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rank"
+    "  FROM scored) WHERE rank <= 3",
+)
+def tfidf_topk(sf_dir: str):
+    """Top-3 characteristic terms per document by fixed-point tf-over-df.
+
+    Plan: ONE token explode -> bucketed (doc, tok) count = tf ->
+    df derived FROM the tf rows (per-token row count — the explode never
+    runs twice) -> bucketed join on token -> grouped top-k per doc.
+    tf is materialized once because both the df aggregation and the join
+    consume it."""
+    import pyarrow as pa
+
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.arrow_util import arrow_schema_of
+    from ..functions.joins import bucketed_hash_join, grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def toks(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_t = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            for w in str(t).split():
+                out_d.append(i)
+                out_t.append(w)
+        return pd.DataFrame({"doc_id": pd.array(out_d, dtype="int64"),
+                             "tok": out_t})
+
+    tf = bucketed_group_agg(
+        ds.map_batches(toks, batch_format="pandas"),
+        ["doc_id", "tok"], {"tf": ("tok", "size")},
+    ).materialize()
+    df_tbl = bucketed_group_agg(
+        tf.select_columns(["tok"]), ["tok"], {"df": ("tok", "size")},
+    )
+    scored = bucketed_hash_join(
+        tf, df_tbl, "tok",
+        lschema=arrow_schema_of(tf),  # materialized: metadata read
+        rschema=pa.schema([("tok", pa.string()), ("df", pa.int64())]),
+    ).map_batches(
+        lambda d: d.assign(score=(d["tf"] * 1_000_000) // d["df"]),
+        batch_format="pandas",
+    )
+    return grouped_topk(scored, "doc_id", "score", 3, tiebreak_col="tok")
+
+
+@register(
+    "repetition_ratio",
+    # within-doc duplicated-passage fraction (disjoint 5-word windows,
+    # trailing partial dropped), per mille — a doc-local quality signal
+    "WITH toks AS ("
+    f"  SELECT doc_id, unnest(string_split_regex({_TRIM}, '\\s+')) AS w,"
+    f"         generate_subscripts(string_split_regex({_TRIM}, '\\s+'), 1) AS i"
+    "  FROM documents), "
+    "win AS ("
+    "  SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS p"
+    "  FROM toks GROUP BY doc_id, (i - 1) // 5"
+    "  HAVING count(*) = 5) "
+    "SELECT doc_id, CAST((count(*) - count(DISTINCT p)) * 1000 // count(*) "
+    "AS BIGINT) AS rep_pm FROM win GROUP BY doc_id",
+)
+def repetition_ratio(sf_dir: str):
+    """Within-document repetition: the per-mille fraction of a doc's
+    disjoint 5-word windows that are duplicates of an earlier window.
+    MAP-ONLY — the metric is doc-local, so no exchange at any scale
+    (contrast :func:`passage_dedup`, the cross-corpus variant)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def rep(df: pd.DataFrame) -> pd.DataFrame:
+        ids, pms = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            w = str(t).split()
+            nwin = len(w) // 5
+            if nwin == 0:
+                continue
+            wins = {" ".join(w[j * 5:(j + 1) * 5]) for j in range(nwin)}
+            ids.append(i)
+            pms.append((nwin - len(wins)) * 1000 // nwin)
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
+                             "rep_pm": pd.array(pms, dtype="int64")})
+
+    return ds.map_batches(rep, batch_format="pandas")
+
+
 @register("curation_pipeline")  # rows-only: the end-to-end composition
 def curation_pipeline_query(sf_dir: str):
     """The flagship training-data curation flow: quality filter -> exact
