@@ -66,7 +66,7 @@ def _registry() -> tuple[dict, dict]:
     demoted = ("set_intersect", "set_except", "hourly_windows",
                "chars_by_source", "distinct_token_count", "sample_10pct",
                "sliding_windows", "retention_filter", "canonical_refs",
-               "top_recent")
+               "top_recent", "dedup_actions")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

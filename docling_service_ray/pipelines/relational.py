@@ -176,6 +176,41 @@ def dedup_actions(sf_dir: str):
     return exact_dedup_actions(ds)
 
 
+@register(
+    "incremental_dedup",
+    # prior-run manifest simulated as the hashes of every 7th document;
+    # within-run duplicates resolve first, then the surviving row checks
+    # the manifest (the migrate job's three-way action accounting,
+    # scripts/r2_migrate_xxhash.py:243,265,303)
+    "WITH h AS (SELECT doc_id, md5(text) AS content_hash FROM documents), "
+    "seen AS (SELECT DISTINCT md5(text) AS content_hash FROM documents "
+    "         WHERE doc_id % 7 = 0), "
+    "f AS (SELECT doc_id, content_hash, "
+    "      MIN(doc_id) OVER (PARTITION BY content_hash) AS keeper FROM h) "
+    "SELECT doc_id, content_hash, "
+    "CASE WHEN doc_id <> keeper THEN 'deduplicated' "
+    "     WHEN content_hash IN (SELECT content_hash FROM seen) "
+    "     THEN 'already_seen' ELSE 'kept' END AS action FROM f",
+)
+def incremental_dedup_query(sf_dir: str):
+    """Cross-run exact dedup against a prior-run hash manifest — see
+    :func:`..stages.dedup.incremental_dedup`."""
+    import pyarrow as pa
+
+    from ..stages.dedup import add_md5_column, incremental_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def prior(b):
+        import numpy as np
+
+        sel = b.loc[(b["doc_id"].to_numpy() % 7 == 0)]
+        return add_md5_column(sel, "text")[["content_hash"]]
+
+    seen = ds.map_batches(prior, batch_format="pandas")
+    return incremental_dedup(ds, seen)
+
+
 # ---------------------------------------------------------------------------
 # M9 analog: canonical content-addressed keys + ref rewriting
 # ---------------------------------------------------------------------------

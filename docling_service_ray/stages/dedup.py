@@ -140,6 +140,83 @@ def exact_dedup_actions(ds, id_col: str = "doc_id", text_col: str = "text",
     )
 
 
+def incremental_dedup(ds, seen, *, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      seen_hash_col: str = "content_hash",
+                      n_buckets: int = 64):
+    """Cross-RUN exact dedup: per-row action ``'kept' | 'deduplicated'
+    (within this run) | 'already_seen' (content a prior run stored)`` plus
+    the ``content_hash`` column, so the caller can append the kept hashes
+    to the manifest for the next run. This is the reference migrate job's
+    three-way accounting (migrated / deduplicated / skip_already_migrated,
+    ``scripts/r2_migrate_xxhash.py:243,265,303``) — but the prior-run
+    "index" is a parquet hash manifest streamed in as a Dataset and
+    co-located by the SAME content-hash bucketing as this run's rows (one
+    shuffle total), never a driver-side dict and never an O(corpus)
+    broadcast.
+
+    ``seen`` is a Dataset with ``seen_hash_col`` (e.g.
+    ``read_parquet(manifest_dir)``); pass None for a first run.
+    Within-run duplicates resolve first (min id wins) and only the
+    surviving row is checked against the manifest, so re-running the same
+    input against its own output manifest marks every survivor
+    ``already_seen`` — the idempotence a resumable 100 TB job needs."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_column
+
+    if seen is None:
+        return exact_dedup_actions(ds, id_col, text_col, n_buckets=n_buckets)
+
+    id_type = _id_arrow_type(ds, id_col)
+    _SIDE = "__inc_side"
+    _B = "__inc_bucket"
+
+    def this_run(b: pd.DataFrame) -> pa.Table:
+        h = add_md5_column(b, text_col)
+        return pa.table({
+            id_col: _ids_array(h[id_col].to_numpy(), id_type),
+            "content_hash": pa.array(h["content_hash"], pa.string()),
+            _SIDE: pa.array(np.zeros(len(h), np.int8)),
+        })
+
+    def seen_rows(t: pa.Table) -> pa.Table:
+        uniq = t[seen_hash_col].combine_chunks().cast(pa.string()).unique()
+        return pa.table({
+            id_col: pa.nulls(len(uniq), id_type),
+            "content_hash": uniq,
+            _SIDE: pa.array(np.ones(len(uniq), np.int8)),
+        })
+
+    tagged = ds.map_batches(this_run, batch_format="pandas").union(
+        seen.select_columns([seen_hash_col]).map_batches(
+            seen_rows, batch_format="pyarrow")
+    ).map_batches(
+        lambda t: bucket_column(t, "content_hash", n_buckets, _B),
+        batch_format="pyarrow",
+    )
+
+    def mark_bucket(grp: pa.Table) -> pa.Table:
+        # split sides while still Arrow: side-1 rows carry a null id, and
+        # pushing those through pandas would float-ify an int id column
+        lmask = pc.equal(grp[_SIDE], 0)
+        df = grp.filter(lmask).select([id_col, "content_hash"]).to_pandas()
+        seen_set = set(
+            grp.filter(pc.invert(lmask))["content_hash"].to_pylist())
+        keep = df.groupby("content_hash")[id_col].transform("min")
+        is_first = (df[id_col] == keep).to_numpy()
+        in_seen = df["content_hash"].isin(seen_set).to_numpy()
+        action = np.where(~is_first, "deduplicated",
+                          np.where(in_seen, "already_seen", "kept"))
+        return pa.table({
+            id_col: _ids_array(df[id_col].to_numpy(), id_type),
+            "content_hash": pa.array(df["content_hash"], pa.string()),
+            "action": pa.array(action, pa.string()),
+        })
+
+    return tagged.groupby(_B).map_groups(mark_bucket, batch_format="pyarrow")
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

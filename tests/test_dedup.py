@@ -222,3 +222,56 @@ def test_dedup_rejects_unsupported_id_dtype(ray_session):
     ds = rd.from_items([{"doc_id": 1.5, "text": "x"}])
     with pytest.raises(TypeError, match="must be integer or string"):
         exact_dedup_actions(ds)
+
+
+def test_incremental_dedup_three_way_actions(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import incremental_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        # 2 dups 1 within-run; 3's content is in the prior manifest
+        "text": ["aaa", "aaa", "bbb", "ccc", "ddd"],
+    }))
+    import hashlib
+
+    seen = rd.from_arrow(pa.table({
+        "content_hash": [hashlib.md5(b"bbb").hexdigest()],
+    }))
+    out = incremental_dedup(ds, seen).to_pandas().set_index("doc_id")
+    assert out.loc[1, "action"] == "kept"
+    assert out.loc[2, "action"] == "deduplicated"
+    assert out.loc[3, "action"] == "already_seen"
+    assert out.loc[4, "action"] == "kept"
+    assert out.loc[5, "action"] == "kept"
+
+
+def test_incremental_dedup_idempotent_against_own_manifest(ray_session):
+    """Re-running the same input against the manifest its first run kept
+    marks every within-run survivor already_seen — the resume contract."""
+    import pyarrow.compute as pc
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import incremental_dedup
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": [f"doc {i % 5}" for i in range(8)],  # 3 within-run dups
+    }))
+    # seed with an empty manifest so the output carries content_hash
+    empty_seen = rd.from_arrow(
+        pa.table({"content_hash": pa.array([], pa.string())}))
+    first = incremental_dedup(ds, empty_seen).materialize()
+    manifest = first.map_batches(
+        lambda t: t.filter(pc.equal(t["action"], "kept")).select(
+            ["content_hash"]),
+        batch_format="pyarrow",
+    )
+    second = incremental_dedup(ds, manifest).to_pandas()
+    acts = second["action"].value_counts().to_dict()
+    assert acts.get("kept", 0) == 0
+    assert acts.get("already_seen") == 5
+    assert acts.get("deduplicated") == 3
