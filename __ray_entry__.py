@@ -66,7 +66,19 @@ def _registry() -> tuple[dict, dict]:
     demoted = ("set_intersect", "set_except", "hourly_windows",
                "chars_by_source", "distinct_token_count", "sample_10pct",
                "sliding_windows", "retention_filter", "canonical_refs",
-               "top_recent", "dedup_actions")
+               "top_recent", "dedup_actions",
+               # round-3 additions pushed the oracle count past the window
+               # again; each demotion names the in-window superset that
+               # exercises the same mechanism:
+               "orders_by_nation",     # broadcast-dim agg -> revenue_rollup
+               "count_by_event_type",  # per-type counts -> event_type_pivot
+               "token_counts",         # token counting -> bpe_token_counts
+               "char_classes",         # char-class regexes -> quality_scores
+               "fingerprints",         # md5 content hash -> hash_sample_k
+               "global_shuffle",       # seeded reorder -> stratified_sample
+               "chars_percentiles",    # percentile hist -> grouped_percentiles
+               "regex_key_filter",     # vectorized regex filter -> pii_scrub
+               "token_rarity")         # two-pass vocab join -> tfidf_topk
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

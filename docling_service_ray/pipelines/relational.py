@@ -923,3 +923,284 @@ def hourly_windows(sf_dir: str):
         ["user_id", "hour_bucket"],
         {"n_events": ("micros", "size"), "value_micros": ("micros", "sum")},
     )
+
+
+# ---------------------------------------------------------------------------
+# Window functions (O1 generalization): ROW_NUMBER + running sum per key.
+# The reading-order contract of the reference (pages serialized strictly in
+# ascending order, app/main.py:455) generalized to the SQL window family.
+# ---------------------------------------------------------------------------
+@register(
+    "running_revenue",
+    # explicit ROWS frame (orderkey is unique so RANGE==ROWS, but be exact);
+    # CAST(SUM(..) AS BIGINT): window SUM(BIGINT) is HUGEINT in DuckDB
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) OVER w "
+    "AS BIGINT) AS cum_cents "
+    "FROM orders WINDOW w AS (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+)
+def running_revenue(sf_dir: str):
+    """Per-customer order sequence number + running spend (exact cents).
+
+    One bucket shuffle on the partition key, then a single vectorized
+    sort+cumsum per bucket — see functions/window.py for the scale plan.
+    """
+    from ..functions.window import partitioned_window
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": to_cents(batch["o_totalprice"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = partitioned_window(
+        prepped,
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[("rn", "row_number", None, None),
+               ("cum_cents", "cumsum", "cents", None)],
+        keep_columns=["o_custkey", "o_orderkey"],
+    )
+    return out.select_columns(["o_custkey", "o_orderkey", "rn", "cum_cents"])
+
+
+@register(
+    "event_gaps",
+    # LAG-based inter-event delta per user; first event of a user -> -1.
+    # epoch_us on both sides keeps the arithmetic in exact int64 microseconds.
+    "SELECT user_id, event_id, "
+    "COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id), -1) AS gap_us "
+    "FROM events",
+)
+def event_gaps(sf_dir: str):
+    """LAG window: microsecond gap to the user's previous event."""
+    from ..functions.window import partitioned_window
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "event_id": batch["event_id"],
+                "ts_us": pc.cast(batch["ts"], pa.int64()),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = partitioned_window(
+        prepped,
+        key="user_id",
+        order_by=["ts_us", "event_id"],
+        specs=[("gap_us", "diff", "ts_us", -1)],
+        keep_columns=["user_id", "event_id"],
+    )
+    return out.select_columns(["user_id", "event_id", "gap_us"])
+
+
+# ---------------------------------------------------------------------------
+# LEFT OUTER join: customers with zero orders kept, zero-filled. Exercises
+# bucketed_hash_join(how="left") — the null-padded path of the big-big join.
+# ---------------------------------------------------------------------------
+@register(
+    "customer_order_stats",
+    "SELECT c.c_custkey, c.c_mktsegment, "
+    "COALESCE(o.n_orders, 0) AS n_orders, "
+    "COALESCE(o.total_cents, 0) AS total_cents "
+    "FROM customer c LEFT JOIN ("
+    "SELECT o_custkey, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents FROM orders GROUP BY o_custkey) o "
+    "ON c.c_custkey = o.o_custkey",
+)
+def customer_order_stats(sf_dir: str):
+    """Left outer join: every customer, order count + spend (0 if none).
+
+    Big side pre-aggregated per batch BEFORE the join shuffle (partial
+    groupby — §2.5 discipline), then one bucketed left join on custkey.
+    """
+    import pyarrow as pa
+
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.joins import bucketed_hash_join
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["o_custkey"],
+                "cents": to_cents(batch["o_totalprice"]),
+            }
+        )
+
+    agg = bucketed_group_agg(
+        orders.map_batches(prep, batch_format="pyarrow", batch_size=65536),
+        ["c_custkey"],
+        {"n_orders": ("cents", "size"), "total_cents": ("cents", "sum")},
+    )
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    joined = bucketed_hash_join(
+        cust, agg, "c_custkey", how="left",
+        lschema=pa.schema([("c_custkey", pa.int64()),
+                           ("c_mktsegment", pa.string())]),
+        rschema=pa.schema([("c_custkey", pa.int64()),
+                           ("n_orders", pa.int64()),
+                           ("total_cents", pa.int64())]),
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": batch["c_custkey"],
+                "c_mktsegment": batch["c_mktsegment"],
+                "n_orders": pc.fill_null(batch["n_orders"], 0),
+                "total_cents": pc.fill_null(batch["total_cents"], 0),
+            }
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# PIVOT (conditional aggregation): per-user event-type count matrix.
+# ---------------------------------------------------------------------------
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "event_type_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"COUNT(*) FILTER (WHERE event_type = '{t}') AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + ", COUNT(*) AS n_total FROM events GROUP BY user_id",
+)
+def event_type_pivot(sf_dir: str):
+    """Wide pivot: one column per event type, counts per user.
+
+    Per-batch crosstab partials (categories fixed up front so every
+    partial has the same shape) -> one small groupby Sum. The shuffle
+    carries |users| x 7 ints, never the raw events.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_type"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        ct = pd.crosstab(batch["user_id"], batch["event_type"])
+        ct = ct.reindex(columns=list(_EVENT_TYPES), fill_value=0)
+        out = ct.rename(columns={t: f"n_{t}" for t in _EVENT_TYPES})
+        out["n_total"] = ct.sum(axis=1)
+        out = out.reset_index()
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    return partials.groupby("user_id").aggregate(
+        *[Sum(f"n_{t}", alias_name=f"n_{t}") for t in _EVENT_TYPES],
+        Sum("n_total", alias_name="n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP (hierarchical subtotals): region -> nation -> grand total, computed
+# WITHOUT a driver pass: each partial emits all three hierarchy levels
+# (they are Sum-able), so one groupby finishes every level at once.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_rollup",
+    "SELECT COALESCE(r_name, 'ALL') AS region, "
+    "COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY ROLLUP(r_name, n_name)",
+)
+def revenue_rollup(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    # dimension lookups as flat int arrays (same broadcast discipline as
+    # orders_by_nation); only dimension-cardinality data touches the driver
+    nat = read_table(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas().sort_values("n_nationkey")
+    reg = read_table(
+        sf_dir, "region", columns=["r_regionkey", "r_name"]
+    ).to_pandas().sort_values("r_regionkey")
+    nation_names = nat["n_name"].to_numpy()
+    region_of_nation = nat["n_regionkey"].to_numpy()
+    region_names = reg["r_name"].to_numpy()
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    cust_df = cust.to_pandas()
+    key_to_nation = np.full(int(cust_df["c_custkey"].max()) + 1, -1, np.int16)
+    key_to_nation[cust_df["c_custkey"].to_numpy()] = (
+        cust_df["c_nationkey"].to_numpy().astype(np.int16)
+    )
+    lookup_ref = ray.put(key_to_nation)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        nk = lookup[batch["o_custkey"].to_numpy(zero_copy_only=False)].astype(
+            np.int64
+        )
+        cents = to_cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        n = len(nation_names)
+        counts = np.bincount(nk, minlength=n)
+        sums = np.bincount(nk, weights=cents.astype(np.float64), minlength=n)
+        nz = np.nonzero(counts)[0]
+        # level 2: (region, nation); level 1: (region, ALL); level 0: (ALL, ALL)
+        df = pd.DataFrame(
+            {
+                "region": region_names[region_of_nation[nz]],
+                "nation": nation_names[nz],
+                "n_orders": counts[nz].astype(np.int64),
+                "total_cents": sums[nz].astype(np.int64),
+            }
+        )
+        lvl1 = (
+            df.groupby("region", sort=False)[["n_orders", "total_cents"]]
+            .sum()
+            .reset_index()
+        )
+        lvl1["nation"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "region": ["ALL"],
+                "nation": ["ALL"],
+                "n_orders": [df["n_orders"].sum()],
+                "total_cents": [df["total_cents"].sum()],
+            }
+        )
+        out = pd.concat(
+            [df, lvl1[["region", "nation", "n_orders", "total_cents"]], lvl0],
+            ignore_index=True,
+        )
+        return table_from_pandas(out)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    return partials.groupby(["region", "nation"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..sources.tables import read_table
 
@@ -1440,3 +1442,162 @@ def contamination(sf_dir: str):
         return ds.map_batches(filt, batch_format="pyarrow")
 
     return ngram_contamination(split(False), split(True), n=3)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling: exact uniform k-sample without replacement.
+# Rank every row by md5(id) and keep the k smallest — a seeded, shuffle-free,
+# reproducible sample whose oracle is plain ORDER BY md5 LIMIT k. Partial
+# top-k per batch means only k rows per batch ever reach the final merge.
+# ---------------------------------------------------------------------------
+@register(
+    "hash_sample_k",
+    "SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp FROM documents "
+    "ORDER BY fp, doc_id LIMIT 100",
+)
+def hash_sample_k(sf_dir: str, k: int = 100):
+    from ..functions.hashing import md5_hex_array
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"]
+        fp = md5_hex_array(pc.cast(ids, pa.string()))
+        t = pa.table({"doc_id": ids, "fp": fp})
+        idx = pc.sort_indices(
+            t, sort_keys=[("fp", "ascending"), ("doc_id", "ascending")]
+        )
+        return t.take(idx[: min(k, t.num_rows)])
+
+    partials = ds.map_batches(partial_topk, batch_format="pyarrow",
+                              batch_size=65536)
+    # partials are <= k rows per input batch; the global sort is tiny
+    return partials.sort(["fp", "doc_id"]).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# Weighted Bernoulli sampling: keep each doc with probability proportional
+# to its length, deterministically (md5-derived uniform). All comparisons
+# are fixed-width lowercase-hex string compares — bit-identical in Python
+# and SQL, no float randomness, embarrassingly parallel (no shuffle).
+# ---------------------------------------------------------------------------
+_WS_K = 200_000_000_000_000  # p(select) = n_chars * K / 16^15 (~5% at 300 chars)
+_WS_MAX = 16**15 - 1
+
+
+@register(
+    "weighted_sample",
+    "SELECT doc_id, n_chars FROM documents "
+    f"WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+    f"< printf('%015x', LEAST(n_chars * {_WS_K}, {_WS_MAX}))",
+)
+def weighted_sample(sf_dir: str):
+    from ..functions.hashing import md5_hex_array
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        fp = md5_hex_array(pc.cast(batch["doc_id"], pa.string()))
+        u15 = np.array([f[:15] for f in fp.to_pylist()])
+        thresh = np.minimum(
+            batch["n_chars"].to_numpy(zero_copy_only=False) * _WS_K, _WS_MAX
+        )
+        thr15 = np.array(["%015x" % t for t in thresh])
+        return batch.filter(pa.array(u15 < thr15))
+
+    return ds.map_batches(pick, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Grouped moments: mean/variance per group from exact integer partial sums
+# (sum, sum-of-squares, count are associative int64 -> order-independent;
+# the float mean/var are derived ONCE from identical scalars on both sides).
+# ---------------------------------------------------------------------------
+@register(
+    "doc_stats_by_lang",
+    "WITH s AS (SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(n_chars) AS BIGINT) AS sum_chars, "
+    "CAST(SUM(n_chars * n_chars) AS BIGINT) AS sumsq_chars, "
+    "MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars "
+    "FROM documents GROUP BY lang) "
+    "SELECT lang, n_docs, sum_chars, min_chars, max_chars, "
+    "CAST(sum_chars AS DOUBLE) / n_docs AS mean_chars, "
+    "(CAST(sumsq_chars AS DOUBLE) - CAST(sum_chars AS DOUBLE) "
+    "* CAST(sum_chars AS DOUBLE) / n_docs) / n_docs AS var_chars FROM s",
+)
+def doc_stats_by_lang(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "n_chars"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        x = batch["n_chars"].astype("int64")
+        batch = batch.assign(sq=x * x)
+        out = (
+            batch.groupby("lang", sort=False)
+            .agg(
+                n_docs=("n_chars", "size"),
+                sum_chars=("n_chars", "sum"),
+                sumsq_chars=("sq", "sum"),
+                min_chars=("n_chars", "min"),
+                max_chars=("n_chars", "max"),
+            )
+            .reset_index()
+        )
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sum_chars", alias_name="sum_chars"),
+        Sum("sumsq_chars", alias_name="sumsq_chars"),
+        Min("min_chars", alias_name="min_chars"),
+        Max("max_chars", alias_name="max_chars"),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_docs"].to_numpy()
+        s = batch["sum_chars"].to_numpy().astype(np.float64)
+        sq = batch["sumsq_chars"].to_numpy().astype(np.float64)
+        # EXACT mirror of the oracle expression tree: (sq - s*s/n) / n
+        batch["mean_chars"] = s / n
+        batch["var_chars"] = (sq - s * s / n) / n
+        return batch[["lang", "n_docs", "sum_chars", "min_chars",
+                      "max_chars", "mean_chars", "var_chars"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Histogram binning (width_bucket): fixed-width bins over a numeric column,
+# per-batch bincount partials -> one tiny groupby. The shuffle carries only
+# (bin, count) pairs.
+# ---------------------------------------------------------------------------
+_HIST_WIDTH = 100
+_HIST_CAP = 50
+
+
+@register(
+    "chars_histogram",
+    f"SELECT CAST(LEAST(n_chars // {_HIST_WIDTH}, {_HIST_CAP}) AS BIGINT) "
+    "AS bin, COUNT(*) AS n_docs FROM documents GROUP BY bin",
+)
+def chars_histogram(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False)
+        bins = np.minimum(x // _HIST_WIDTH, _HIST_CAP)
+        counts = np.bincount(bins, minlength=_HIST_CAP + 1)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)),
+             "n_docs": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    return partials.groupby("bin").aggregate(Sum("n_docs", alias_name="n_docs"))
