@@ -63,6 +63,15 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "tfidf_topk",
     "repetition_ratio",
+    "running_revenue",
+    "event_gaps",
+    "customer_order_stats",
+    "event_type_pivot",
+    "revenue_rollup",
+    "hash_sample_k",
+    "weighted_sample",
+    "doc_stats_by_lang",
+    "chars_histogram",
 ]
 
 

@@ -1601,3 +1601,137 @@ def chars_histogram(sf_dir: str):
 
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
     return partials.groupby("bin").aggregate(Sum("n_docs", alias_name="n_docs"))
+
+
+# ---------------------------------------------------------------------------
+# Group-wise deterministic sampling: k docs per group, ranked by md5 —
+# reproducible stratified downsampling with a pure-SQL oracle. Reuses
+# grouped_topk's two-phase plan (per-batch partial prune -> one bucket
+# shuffle of survivors), so the shuffle carries <= k rows per group per
+# batch, never the corpus.
+# ---------------------------------------------------------------------------
+@register(
+    "per_lang_sample",
+    "SELECT lang, doc_id, fp, CAST(rn AS BIGINT) AS \"rank\" FROM ("
+    "SELECT lang, doc_id, md5(CAST(doc_id AS VARCHAR)) AS fp, "
+    "ROW_NUMBER() OVER (PARTITION BY lang "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn "
+    "FROM documents) WHERE rn <= 5",
+)
+def per_lang_sample(sf_dir: str, k: int = 5):
+    from ..functions.hashing import md5_hex_array
+    from ..functions.joins import grouped_topk
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "doc_id"])
+
+    def add_fp(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "fp", md5_hex_array(pc.cast(batch["doc_id"], pa.string()))
+        )
+
+    with_fp = ds.map_batches(add_fp, batch_format="pyarrow", batch_size=65536)
+    out = grouped_topk(with_fp, "lang", "fp", k,
+                       descending=False, tiebreak_col="doc_id")
+    return out.select_columns(["lang", "doc_id", "fp", "rank"])
+
+
+# ---------------------------------------------------------------------------
+# Z-score normalization: classic two-pass feature scaling. Pass 1 reduces
+# to three exact int64 scalars (n, sum, sumsq of value-cents — associative,
+# order-independent); pass 2 is an embarrassingly-parallel map with the
+# scalars closed over. Only 3 numbers ever touch the driver. z is
+# scale-invariant, so computing moments in exact cents loses nothing.
+# ---------------------------------------------------------------------------
+@register(
+    "value_zscores",
+    "WITH v AS (SELECT event_id, "
+    "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents FROM events), "
+    "m AS (SELECT COUNT(*) AS n, CAST(SUM(cents) AS BIGINT) AS s, "
+    "CAST(SUM(cents * cents) AS BIGINT) AS sq FROM v) "
+    "SELECT event_id, "
+    "(CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n) / "
+    "sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) "
+    "/ n) AS z FROM v, m",
+)
+def value_zscores(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..functions.money import to_cents
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "value"])
+
+    def to_v(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"event_id": batch["event_id"], "cents": to_cents(batch["value"])}
+        )
+
+    v = ds.map_batches(to_v, batch_format="pyarrow", batch_size=65536)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        x = batch["cents"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n": pa.array([len(x)], pa.int64()),
+                "s": pa.array([int(x.sum())], pa.int64()),
+                "sq": pa.array([int((x * x).sum())], pa.int64()),
+            }
+        )
+
+    m = (
+        v.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("sq", alias_name="sq"))
+    )
+    n, s, sq = int(m["n"]), int(m["s"]), int(m["sq"])
+    # EXACT mirror of the oracle expression tree, derived once from the
+    # three integer scalars: mean = s/n; std = sqrt((sq - s*s/n)/n)
+    mean = float(s) / n
+    std = np.sqrt((float(sq) - float(s) * float(s) / n) / n)
+
+    def zmap(batch: pa.Table) -> pa.Table:
+        x = batch["cents"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"event_id": batch["event_id"], "z": pa.array((x - mean) / std)}
+        )
+
+    return v.map_batches(zmap, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Bloom membership measurement (rows-only: Bloom filters aren't
+# SQL-expressible): build over the even-doc_id half, probe both halves,
+# report exact confusion counts. False negatives MUST be zero (the Bloom
+# contract the dedup prefilter relies on); the FP rate is the measured
+# quality signal, asserted against theory in tests/test_bloom.py.
+# ---------------------------------------------------------------------------
+@register("bloom_prefilter")
+def bloom_prefilter(sf_dir: str):
+    from ..stages.bloom import bloom_probe_filter, build_bloom
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def split(even: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"]
+            m = pc.equal(pc.bit_wise_and(ids, 1), 0 if even else 1)
+            return batch.filter(m)
+
+        return ds.map_batches(f, batch_format="pyarrow")
+
+    members, probes = split(True), split(False)
+    bloom = build_bloom(members, "doc_id", m_bits=1 << 20, k_hashes=4)
+    n_members = members.count()
+    n_probes = probes.count()
+    # definite-new rows among true members -> false negatives (must be 0)
+    fn = bloom_probe_filter(members, "doc_id", bloom).count()
+    # rows NOT filtered out among true non-members -> false positives
+    fp = n_probes - bloom_probe_filter(probes, "doc_id", bloom).count()
+    return pd.DataFrame(
+        {
+            "n_members": [n_members],
+            "n_probes": [n_probes],
+            "false_negatives": [fn],
+            "false_positives": [fp],
+            "fp_rate_ppm": [int(fp * 1_000_000 / max(n_probes, 1))],
+        }
+    )
