@@ -80,7 +80,9 @@ def _registry() -> tuple[dict, dict]:
                "regex_key_filter",     # vectorized regex filter -> pii_scrub
                "token_rarity",         # two-pass vocab join -> tfidf_topk
                "top3_orders_per_customer",  # grouped_topk -> per_lang_sample
-               "hash_sample_k")        # md5-rank sampling -> per_lang_sample
+               "hash_sample_k",        # md5-rank sampling -> per_lang_sample
+               "distinct_lang_source", # distinct pairs -> langs_per_source
+               "event_gaps")           # partitioned_window -> running_revenue
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

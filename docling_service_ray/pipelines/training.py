@@ -1735,3 +1735,88 @@ def bloom_prefilter(sf_dir: str):
             "fp_rate_ppm": [int(fp * 1_000_000 / max(n_probes, 1))],
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) per group: two-level aggregation — the first shuffle
+# collapses to distinct (source, lang) pairs (partials pre-collapse per
+# batch), the second counts pairs per source. The corpus never shuffles
+# twice; level-2 input is |sources| x |langs| rows.
+# ---------------------------------------------------------------------------
+@register(
+    "langs_per_source",
+    "SELECT source, CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs, "
+    "COUNT(*) AS n_docs FROM documents GROUP BY source",
+)
+def langs_per_source(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["source", "lang"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby(["source", "lang"], sort=False)
+            .size()
+            .rename("n")
+            .reset_index()
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    pairs = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby(["source", "lang"])
+        .aggregate(Sum("n", alias_name="n_docs"))
+    )
+
+    def collapse(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("source", sort=False)
+            .agg(n_langs=("lang", "size"), n_docs=("n_docs", "sum"))
+            .reset_index()
+        )
+        out["n_langs"] = out["n_langs"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        return out
+
+    # level-2 input is dimension-cardinality (|sources| x |langs| rows);
+    # collapse INSIDE map_groups — batch boundaries of a later map_batches
+    # would not align with group boundaries
+    return pairs.groupby("source").map_groups(collapse, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# Scalar-subquery filter: keep docs at or above the corpus (lower) median
+# length. Median = smallest v with cumulative count >= (N+1)//2, computed
+# from the distributed value-count histogram (only the value DOMAIN reaches
+# the driver — same scale shape as chars_percentiles), then broadcast into
+# a simple pushdown-able predicate.
+# ---------------------------------------------------------------------------
+@register(
+    "above_median_docs",
+    "WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents "
+    "GROUP BY n_chars), "
+    "s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, "
+    "(SELECT (COUNT(*) + 1) // 2 FROM documents) AS half FROM h), "
+    "m AS (SELECT MIN(v) AS cutoff FROM s WHERE cum >= half) "
+    "SELECT doc_id, n_chars FROM documents, m WHERE n_chars >= cutoff",
+)
+def above_median_docs(sf_dir: str):
+    from ..functions.agg import bucketed_group_agg
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    hist = (
+        bucketed_group_agg(
+            ds.select_columns(["n_chars"]), ["n_chars"],
+            {"c": ("n_chars", "size")}, n_buckets=16,
+        )
+        .to_pandas()
+        .sort_values("n_chars")
+    )
+    half = (int(hist["c"].sum()) + 1) // 2
+    cutoff = int(hist.loc[hist["c"].cumsum() >= half, "n_chars"].iloc[0])
+
+    def keep(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.greater_equal(batch["n_chars"], cutoff))
+
+    return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
