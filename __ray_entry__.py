@@ -82,7 +82,9 @@ def _registry() -> tuple[dict, dict]:
                "top3_orders_per_customer",  # grouped_topk -> per_lang_sample
                "hash_sample_k",        # md5-rank sampling -> per_lang_sample
                "distinct_lang_source", # distinct pairs -> langs_per_source
-               "event_gaps")           # partitioned_window -> running_revenue
+               "event_gaps",           # partitioned_window -> running_revenue
+               "session_ids",          # sessionize bucket -> session_windows
+               "chars_histogram")      # bincount partials -> token_histogram
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -1216,3 +1216,48 @@ def revenue_rollup(sf_dir: str):
         Sum("n_orders", alias_name="n_orders"),
         Sum("total_cents", alias_name="total_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-event sessionization: assign every event its session ordinal — the
+# row-level companion of session_windows (which emits per-session
+# aggregates). One bucket shuffle on user_id; per bucket a single
+# vectorized sort + diff + flag + grouped cumsum.
+# ---------------------------------------------------------------------------
+@register(
+    "session_ids",
+    "WITH g AS (SELECT user_id, event_id, ts, "
+    "epoch_us(ts) - LAG(epoch_us(ts)) OVER "
+    "(PARTITION BY user_id ORDER BY ts, event_id) AS gap FROM events) "
+    "SELECT user_id, event_id, "
+    f"CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US} "
+    "THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) "
+    "AS session_idx FROM g",
+)
+def session_ids(sf_dir: str):
+    from ..functions.hashing import bucket_column
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "event_id", "ts"])
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, "user_id", 64, "__bucket"),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def assign_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__bucket"]).to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        us = df["ts"].astype("int64")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        new_s = (new_user | (us.diff() > SESSION_GAP_US)).astype("int64")
+        df["session_idx"] = (
+            new_s.groupby(df["user_id"].to_numpy()).cumsum() - 1
+        )
+        out = df[["user_id", "event_id", "session_idx"]].copy()
+        out["session_idx"] = out["session_idx"].astype("int64")
+        return table_from_pandas(out)
+
+    return bucketed.groupby("__bucket").map_groups(
+        assign_bucket, batch_format="pyarrow"
+    )

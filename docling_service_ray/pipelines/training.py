@@ -1820,3 +1820,68 @@ def above_median_docs(sf_dir: str):
         return batch.filter(pc.greater_equal(batch["n_chars"], cutoff))
 
     return ds.map_batches(keep, batch_format="pyarrow", batch_size=65536)
+
+
+# ---------------------------------------------------------------------------
+# Exact heavy hitters WITHOUT a vocabulary shuffle: truncated per-batch
+# summaries (bounded underestimate) -> provably complete candidate set ->
+# broadcast exact recount. Final counts are exact, so the oracle is plain
+# HAVING cnt * phi_inv >= total. See functions/heavy_hitters.py for the
+# guarantee arithmetic; the summary shuffle moves <= capacity rows per
+# batch instead of the batch vocabulary.
+# ---------------------------------------------------------------------------
+_HH_PHI_INV = 200  # heavy = frequency >= N/200 (0.5%)
+_HH_CAPACITY = 4 * _HH_PHI_INV
+
+
+@register(
+    "frequent_tokens",
+    "WITH tok AS (SELECT unnest(regexp_split_to_array("
+    "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) AS word "
+    "FROM documents WHERE regexp_replace(text, '^\\s+|\\s+$', '', 'g') <> ''), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok) "
+    "SELECT word, CAST(cnt AS BIGINT) AS cnt FROM "
+    "(SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word), t "
+    f"WHERE cnt * {_HH_PHI_INV} >= total",
+)
+def frequent_tokens(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.heavy_hitters import (
+        recount_batch,
+        select_candidates,
+        summary_batch,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return summary_batch(batch["text"], _HH_CAPACITY)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("word")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()  # sketch-cardinality by construction (<= ~capacity
+        #              surviving words + sentinel), NOT the vocabulary
+    )
+    candidates, total = select_candidates(merged, _HH_PHI_INV, _HH_CAPACITY)
+    if not candidates:
+        return pa.table({"word": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        return recount_batch(batch["text"], ray.get(cand_ref))
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas", batch_size=65536)
+        .groupby("word")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= |candidates| rows
+    )
+    keep = exact[exact["cnt"].to_numpy() * _HH_PHI_INV >= total]
+    keep = keep.sort_values("word").reset_index(drop=True)
+    return pa.table({"word": pa.array(keep["word"], pa.string()),
+                     "cnt": pa.array(keep["cnt"].to_numpy(), pa.int64())})
