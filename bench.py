@@ -191,6 +191,39 @@ def run_bench() -> dict:
     return result
 
 
+def _vm_cpu_ceiling(lo: int = 8, hi: int = 32, secs: float = 4.0) -> float:
+    """The sandbox host's OWN cpu-scaling ratio right now (pure-python burn
+    at lo vs hi processes, aggregate ops/s ratio / (hi/lo)).
+
+    The VM's effective per-core speed drifts with host contention; in slow
+    windows the silicon itself scales 8->32 at well under 4x, capping ANY
+    pipeline's measurable efficiency. Reporting this alongside each scaling
+    sample makes the sample interpretable: pipeline efficiency should be
+    read relative to min(1, ceiling), not an ideal 4x."""
+    import multiprocessing as mp
+
+    def burn(q):
+        t0 = time.monotonic()
+        n, x = 0, 1.0
+        while time.monotonic() - t0 < secs:
+            for _ in range(100000):
+                x = x * 1.0000001 + 0.1
+            n += 100000
+        q.put(n)
+
+    def agg(nproc: int) -> float:
+        q = mp.Queue()
+        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        for p in ps:
+            p.start()
+        total = sum(q.get() for _ in ps)
+        for p in ps:
+            p.join()
+        return total / secs
+
+    return round((agg(hi) / agg(lo)) / (hi / lo), 3)
+
+
 def run_scaling() -> dict:
     """Two-parallelism scaling evidence.
 
@@ -220,10 +253,12 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    ceil_before = _vm_cpu_ceiling(lo_cpus, hi_cpus)
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
         lo_runs.append(run(lo_cpus))
         hi_runs.append(run(hi_cpus))
+    ceil_after = _vm_cpu_ceiling(lo_cpus, hi_cpus)
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     thr_lo = lo["turns_per_sec"]
@@ -243,6 +278,11 @@ def run_scaling() -> dict:
         f"all_sec_{lo_cpus}": [r["value"] for r in lo_runs],
         f"all_sec_{hi_cpus}": [r["value"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
+        "vm_cpu_ceiling_before": ceil_before,
+        "vm_cpu_ceiling_after": ceil_after,
+        "efficiency_vs_vm_ceiling": round(
+            eff / min(1.0, max(ceil_before, ceil_after)), 3
+        ),
     }
 
 
