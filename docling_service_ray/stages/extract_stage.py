@@ -177,9 +177,14 @@ def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
                 )
             except Exception:  # pragma: no cover
                 total = 8
-            # ~80% of slots extract; the rest keep the read/write task ops
-            # fed (extract:read CPU ratio measured ~4.7:1 on the corpus)
-            concurrency = max(2, int(total * 0.8))
+            # reserve ~2 ABSOLUTE slots for the read/write task ops, not a
+            # fraction: measured on the sf0.1 corpus, pools of (width-2)
+            # beat 0.8*width at every width (32 cpus: 30 actors 35.7s vs
+            # 25 actors 40.3s vs 32 actors 58.9s — a full-width pool
+            # starves I/O and collapses; 8 cpus: 6 beats 7). The I/O
+            # overlap need is a constant couple of cores, not 20% of the
+            # node.
+            concurrency = max(2, total - 2)
         kwargs["concurrency"] = concurrency
     if num_gpus is not None:
         kwargs["num_gpus"] = num_gpus
