@@ -389,3 +389,109 @@ def asof_join_per_key(left, right, key: str, ts_col: str, *,
     return tagged.groupby(_BUCKET_COL).map_groups(
         match_bucket, batch_format="pyarrow"
     )
+
+
+def skew_salted_join(big, small, key: str, *, hot_keys, n_salt: int = 8,
+                     n_buckets: int = 64, bschema=None, sschema=None):
+    """Equi-join that survives skewed keys: the explicit hot-key plan the
+    other joins' docstrings point at ("salt hot keys upstream").
+
+    ``big`` rows whose key is in ``hot_keys`` get a per-row salt
+    (round-robin within each batch), spreading one hot key across
+    ``n_salt`` co-location buckets; ``small``'s hot-key rows are
+    REPLICATED once per salt so every (key, salt) pair still meets. Cold
+    keys take salt 0 — exactly the plain bucketed plan. The join result
+    is independent of salt assignment, so batch-boundary differences
+    never change output.
+
+    Partitioning contract: a single bucket holds <= 1/n_salt of any hot
+    key's big-side rows (plus cold keys' full groups — size n_buckets for
+    those as usual). ``hot_keys`` is broadcast once via ``ray.put`` (hot
+    keys are few by definition; detect them with a frequency pass such as
+    functions/heavy_hitters.py at corpus scale).
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from .arrow_util import arrow_schema_of
+    from .hashing import bucket_column
+
+    bschema = bschema or arrow_schema_of(big)
+    sschema = sschema or arrow_schema_of(small)
+    bnames = list(bschema.names)
+    snames = [n for n in sschema.names if n != key]
+    overlap = set(bnames) & set(snames)
+    if overlap:
+        raise ValueError(f"column collision (rename first): {overlap}")
+    btypes = dict(zip(bschema.names, bschema.types))
+    stypes = dict(zip(sschema.names, sschema.types))
+    all_fields = [(n, btypes[n]) for n in bnames] + [(n, stypes[n]) for n in snames]
+    out_schema = pa.schema(all_fields)
+    hot_ref = ray.put(pa.array(sorted(hot_keys)))
+    _SALT = "__salt"
+
+    def _finish(tbl: pa.Table, names, side: int) -> pa.Table:
+        # bucket on (key, salt): same key+salt co-locates on both sides
+        tbl = bucket_column(tbl, key, 1 << 30, "__h")
+        h = tbl["__h"].to_numpy(zero_copy_only=False)
+        salt = tbl[_SALT].to_numpy(zero_copy_only=False).astype(np.int64)
+        bucket = (h + salt * 1000003) % n_buckets
+        tbl = tbl.drop_columns(["__h"]).append_column(
+            _BUCKET_COL, pa.array(bucket.astype(np.int64))
+        )
+        n = tbl.num_rows
+        arrays, out_names = [], []
+        for name, typ in all_fields:
+            arrays.append(tbl[name] if name in tbl.column_names
+                          else pa.nulls(n, typ))
+            out_names.append(name)
+        for extra in (key, _SALT, _BUCKET_COL):
+            if extra not in out_names:
+                arrays.append(tbl[extra])
+                out_names.append(extra)
+        arrays.append(pa.array(np.full(n, side, np.int8)))
+        out_names.append(_SIDE_COL)
+        return pa.table(dict(zip(out_names, arrays)))
+
+    def big_rows(tbl: pa.Table) -> pa.Table:
+        hot = pc.is_in(tbl[key], value_set=ray.get(hot_ref))
+        salt = np.where(
+            hot.to_numpy(zero_copy_only=False),
+            np.arange(tbl.num_rows, dtype=np.int64) % n_salt,
+            0,
+        )
+        tbl = tbl.append_column(_SALT, pa.array(salt))
+        return _finish(tbl, bnames, 0)
+
+    def small_rows(tbl: pa.Table) -> pa.Table:
+        hot_mask = pc.is_in(tbl[key], value_set=ray.get(hot_ref))
+        cold = tbl.filter(pc.invert(hot_mask))
+        cold = cold.append_column(
+            _SALT, pa.array(np.zeros(cold.num_rows, np.int64))
+        )
+        hot = tbl.filter(hot_mask)
+        reps = [
+            hot.append_column(
+                _SALT, pa.array(np.full(hot.num_rows, s, np.int64)))
+            for s in range(n_salt)
+        ] if hot.num_rows else []
+        merged = pa.concat_tables([cold, *reps]) if reps else cold
+        return _finish(merged, snames, 1)
+
+    tagged = big.map_batches(big_rows, batch_format="pyarrow").union(
+        small.map_batches(small_rows, batch_format="pyarrow")
+    )
+
+    def join_bucket(grp: pa.Table) -> pa.Table:
+        lmask = pc.equal(grp[_SIDE_COL], 0)
+        bcols = bnames if key in bnames else bnames + [key]
+        l = grp.filter(lmask).select(bcols + [_SALT]).to_pandas()
+        r = grp.filter(pc.invert(lmask)).select(
+            [key, _SALT] + snames).to_pandas()
+        joined = l.merge(r, on=[key, _SALT])
+        return table_from_pandas(
+            joined[[n for n, _ in all_fields]], schema=out_schema)
+
+    return tagged.groupby(_BUCKET_COL).map_groups(
+        join_bucket, batch_format="pyarrow"
+    )

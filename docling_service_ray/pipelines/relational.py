@@ -1261,3 +1261,69 @@ def session_ids(sf_dir: str):
     return bucketed.groupby("__bucket").map_groups(
         assign_bucket, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-salted big-big join: the explicit hot-key plan (salt hot keys across
+# n_salt buckets, replicate the other side's hot rows per salt). The salt
+# assignment provably never changes the join OUTPUT, so the oracle is the
+# plain SQL join; the planted-skew behavior is pinned in tests/test_joins.py.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_join_priority",
+    "SELECT o_orderpriority, COUNT(*) AS n_items, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS BIGINT) AS revenue_cents "
+    "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+    "GROUP BY o_orderpriority",
+)
+def salted_join_priority(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import skew_salted_join
+
+    li = read_table(
+        sf_dir, "lineitem",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            batch["l_extendedprice"], pc.subtract(1.0, batch["l_discount"])
+        )
+        return pa.table(
+            {"o_orderkey": batch["l_orderkey"], "rev_cents": to_cents(rev)}
+        )
+
+    big = li.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    small = read_table(sf_dir, "orders",
+                       columns=["o_orderkey", "o_orderpriority"])
+    # ANY hot-key choice yields the same join output (salting only changes
+    # placement); this fixed arithmetic set exercises both the salted and
+    # the cold path without a detection pass
+    hot = set(range(0, 200_000, 32))
+    joined = skew_salted_join(
+        big, small, "o_orderkey", hot_keys=hot, n_salt=4,
+        bschema=pa.schema([("o_orderkey", pa.int64()),
+                           ("rev_cents", pa.int64())]),
+        sschema=pa.schema([("o_orderkey", pa.int64()),
+                           ("o_orderpriority", pa.string())]),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("o_orderpriority", sort=False)
+            .agg(n_items=("rev_cents", "size"),
+                 revenue_cents=("rev_cents", "sum"))
+            .reset_index()
+        )
+        out["n_items"] = out["n_items"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out
+
+    return (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("o_orderpriority")
+        .aggregate(Sum("n_items", alias_name="n_items"),
+                   Sum("revenue_cents", alias_name="revenue_cents"))
+    )

@@ -128,3 +128,52 @@ def test_bucketed_semi_anti_join(ray_session):
     got = semi.to_pandas().sort_values("k").reset_index(drop=True)
     assert got["k"].tolist() == [2, 3, 5]
     assert got["v"].tolist() == ["row2", "row3", "row5"]  # columns intact
+
+
+# ---------------------------------------------------------------------------
+# skew_salted_join
+# ---------------------------------------------------------------------------
+def _salted_case(ray_session, n_blocks):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from docling_service_ray.functions.joins import skew_salted_join
+
+    rng = np.random.default_rng(3)
+    # planted skew: key 7 dominates the big side
+    keys = np.concatenate([np.full(5000, 7), rng.integers(100, 200, 2000)])
+    big_df = pd.DataFrame({"k": keys.astype("int64"),
+                           "v": np.arange(len(keys), dtype="int64")})
+    small_df = pd.DataFrame({
+        "k": np.arange(0, 220, dtype="int64"),
+        "label": [f"L{i}" for i in range(220)],
+    })
+    big = ray.data.from_pandas(big_df).repartition(n_blocks)
+    small = ray.data.from_pandas(small_df)
+    out = skew_salted_join(
+        big, small, "k", hot_keys={7, 150}, n_salt=4,
+        bschema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+        sschema=pa.schema([("k", pa.int64()), ("label", pa.string())]),
+    ).to_pandas()
+    expected = big_df.merge(small_df, on="k")
+    return (
+        out.sort_values(["k", "v"]).reset_index(drop=True)[["k", "v", "label"]],
+        expected.sort_values(["k", "v"]).reset_index(drop=True),
+    )
+
+
+def test_salted_join_matches_pandas(ray_session):
+    import pandas as pd
+
+    got, exp = _salted_case(ray_session, 8)
+    pd.testing.assert_frame_equal(got, exp)
+
+
+def test_salted_join_block_layout_invariant(ray_session):
+    import pandas as pd
+
+    a, _ = _salted_case(ray_session, 1)
+    b, _ = _salted_case(ray_session, 17)
+    pd.testing.assert_frame_equal(a, b)
