@@ -1885,3 +1885,34 @@ def frequent_tokens(sf_dir: str):
     keep = keep.sort_values("word").reset_index(drop=True)
     return pa.table({"word": pa.array(keep["word"], pa.string()),
                      "cnt": pa.array(keep["cnt"].to_numpy(), pa.int64())})
+
+
+# ---------------------------------------------------------------------------
+# Range partitioning with exact quantile boundaries: per-doc partition
+# assignment (quartiles of n_chars). Mechanism = the sorted-output-layout
+# primitive (functions/partitioning.py); oracle = explicit CASE over the
+# same exact type-1 quantile cut points.
+# ---------------------------------------------------------------------------
+@register(
+    "range_partition_docs",
+    "WITH h AS (SELECT n_chars AS v, COUNT(*) AS c FROM documents "
+    "GROUP BY n_chars), "
+    "s AS (SELECT v, SUM(c) OVER (ORDER BY v) AS cum, "
+    "(SELECT COUNT(*) FROM documents) AS n FROM h), "
+    "b AS (SELECT "
+    "(SELECT MIN(v) FROM s WHERE cum >= CEIL(0.25 * n)) AS b25, "
+    "(SELECT MIN(v) FROM s WHERE cum >= CEIL(0.50 * n)) AS b50, "
+    "(SELECT MIN(v) FROM s WHERE cum >= CEIL(0.75 * n)) AS b75 FROM s LIMIT 1) "
+    "SELECT doc_id, n_chars, CAST(CASE WHEN n_chars >= b75 THEN 3 "
+    "WHEN n_chars >= b50 THEN 2 WHEN n_chars >= b25 THEN 1 ELSE 0 END "
+    "AS BIGINT) AS part FROM documents, b",
+)
+def range_partition_docs(sf_dir: str):
+    from ..functions.partitioning import (
+        assign_range_partition,
+        exact_quantile_boundaries,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
+    bounds = exact_quantile_boundaries(ds, "n_chars", 4)
+    return assign_range_partition(ds, "n_chars", bounds)

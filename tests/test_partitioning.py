@@ -1,0 +1,62 @@
+"""Range partitioner: exact boundaries, balanced shards, ordered layout."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from docling_service_ray.functions.partitioning import (
+    assign_range_partition,
+    exact_quantile_boundaries,
+    range_partitioned_write,
+)
+
+
+def _ds(values, n_blocks=4):
+    t = pa.table({"k": pa.array(values, pa.int64()),
+                  "v": pa.array(range(len(values)), pa.int64())})
+    return ray.data.from_arrow(t).repartition(n_blocks)
+
+
+def test_boundaries_are_exact_quantiles(ray_session):
+    vals = list(range(1, 101))  # 1..100
+    b = exact_quantile_boundaries(_ds(vals), "k", 4)
+    assert b == [25, 50, 75]
+
+
+def test_assignment_balanced_and_consistent(ray_session):
+    rng = np.random.default_rng(11)
+    vals = rng.integers(0, 10000, 8000).tolist()
+    ds = _ds(vals)
+    b = exact_quantile_boundaries(ds, "k", 8)
+    assert b == sorted(b)
+    out = assign_range_partition(ds, "k", b).to_pandas()
+    # every row in the declared range
+    for i, grp in out.groupby("part"):
+        if i > 0:
+            assert (grp["k"] >= b[i - 1]).all()
+        if i < len(b):
+            assert (grp["k"] < b[i]).all()
+    # exact-quantile cuts on near-unique values -> balanced within 20%
+    sizes = out.groupby("part").size()
+    assert len(sizes) == 8
+    assert sizes.max() <= 1.2 * sizes.min()
+
+
+def test_range_partitioned_write_ordered_layout(ray_session, tmp_path):
+    vals = list(range(1000))
+    path = str(tmp_path / "ranged")
+    bounds = range_partitioned_write(_ds(vals), "k", 4, path)
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("part="))
+    assert len(dirs) == 4
+    # reading shard directories in index order yields globally ordered
+    # ranges: max(shard i) < min(shard i+1)
+    prev_max = -1
+    for d in sorted(dirs, key=lambda s: int(s.split("=")[1])):
+        t = pq.read_table(os.path.join(path, d), columns=["k"])
+        ks = t["k"].to_numpy()
+        assert ks.min() > prev_max
+        prev_max = ks.max()
+    assert bounds == sorted(bounds)
