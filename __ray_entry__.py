@@ -85,9 +85,10 @@ def _registry() -> tuple[dict, dict]:
                "event_gaps",           # partitioned_window -> running_revenue
                "session_ids",          # sessionize bucket -> session_windows
                "chars_histogram",      # bincount partials -> token_histogram
-               "weighted_sample")      # md5 sampling -> per_lang_sample +
+               "weighted_sample",      # md5 sampling -> per_lang_sample +
                                        # stratified_sample (keeps
                                        # frequent_tokens in-window)
+               "above_median_docs")    # quantile cutoff -> range_partition_docs
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -1327,3 +1327,59 @@ def salted_join_priority(sf_dir: str):
         .aggregate(Sum("n_items", alias_name="n_items"),
                    Sum("revenue_cents", alias_name="revenue_cents"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Data profiling: per-column stats in ONE pass. Partials keep each
+# column's min/max TYPED in its own wide column (so aggregation compares
+# natively, never lexicographically); only the final tiny reshape casts
+# to strings for the long-format report.
+# ---------------------------------------------------------------------------
+@register(
+    "profile_events",
+    "SELECT 'event_id' AS col, COUNT(*) AS n_rows, "
+    "COUNT(*) - COUNT(event_id) AS n_nulls, "
+    "CAST(MIN(event_id) AS VARCHAR) AS min_v, "
+    "CAST(MAX(event_id) AS VARCHAR) AS max_v FROM events "
+    "UNION ALL SELECT 'user_id', COUNT(*), COUNT(*) - COUNT(user_id), "
+    "CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR) FROM events "
+    "UNION ALL SELECT 'event_type', COUNT(*), COUNT(*) - COUNT(event_type), "
+    "MIN(event_type), MAX(event_type) FROM events",
+)
+def profile_events(sf_dir: str):
+    from ray.data.aggregate import Max, Min, Sum
+
+    cols = ["event_id", "user_id", "event_type"]
+    ds = read_table(sf_dir, "events", columns=cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        out = {"n_rows": pa.array([batch.num_rows], pa.int64())}
+        for c in cols:
+            col = batch[c]
+            out[f"{c}__nulls"] = pa.array([col.null_count], pa.int64())
+            out[f"{c}__min"] = pa.array([pc.min(col).as_py()],
+                                        type=col.type)
+            out[f"{c}__max"] = pa.array([pc.max(col).as_py()],
+                                        type=col.type)
+        return pa.table(out)
+
+    aggs = [Sum("n_rows", alias_name="n_rows")]
+    for c in cols:
+        aggs += [
+            Sum(f"{c}__nulls", alias_name=f"{c}__nulls"),
+            Min(f"{c}__min", alias_name=f"{c}__min"),
+            Max(f"{c}__max", alias_name=f"{c}__max"),
+        ]
+    m = ds.map_batches(partial, batch_format="pyarrow",
+                       batch_size=65536).aggregate(*aggs)
+    rows = [
+        {
+            "col": c,
+            "n_rows": int(m["n_rows"]),
+            "n_nulls": int(m[f"{c}__nulls"]),
+            "min_v": str(m[f"{c}__min"]),
+            "max_v": str(m[f"{c}__max"]),
+        }
+        for c in cols
+    ]
+    return pa.Table.from_pylist(rows)
