@@ -88,7 +88,8 @@ def _registry() -> tuple[dict, dict]:
                "weighted_sample",      # md5 sampling -> per_lang_sample +
                                        # stratified_sample (keeps
                                        # frequent_tokens in-window)
-               "above_median_docs")    # quantile cutoff -> range_partition_docs
+               "above_median_docs",    # quantile cutoff -> range_partition_docs
+               "stratified_sample")    # grouped sampling -> per_lang_sample
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()
