@@ -63,33 +63,43 @@ def _registry() -> tuple[dict, dict]:
     flagship = ("extract_turns", "extract_meta", "stitch_convs",
                 "multimodal_features", "curation_pipeline")
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
-    demoted = ("set_intersect", "set_except", "hourly_windows",
-               "chars_by_source", "distinct_token_count", "sample_10pct",
-               "sliding_windows", "retention_filter", "canonical_refs",
-               "top_recent", "dedup_actions",
-               # round-3 additions pushed the oracle count past the window
-               # again; each demotion names the in-window superset that
-               # exercises the same mechanism:
-               "orders_by_nation",     # broadcast-dim agg -> revenue_rollup
+    # Round-4 rotation: the 10 queries the round-3 judge named
+    # (canonical_refs, orders_by_nation, token_counts, hourly_windows,
+    # chars_percentiles, event_gaps, hash_sample_k, chars_histogram,
+    # weighted_sample, stratified_sample) are promoted INTO the window;
+    # 10 round-3-proven rows whose mechanism stays represented give up
+    # their slots. Every arrow below names a query that is IN-window
+    # this round.
+    demoted = ("set_intersect",        # set ops -> set_union
+               "set_except",           # set ops -> set_union
+               "chars_by_source",      # grouped sum -> doc_stats_by_lang
+               "distinct_token_count", # vocab pre-agg -> frequent_tokens
+               "sample_10pct",         # bernoulli sample -> stratified_sample
+               "sliding_windows",      # time windows -> hourly_windows
+               "retention_filter",     # vectorized predicate -> validate_filter
+               "top_recent",           # sort+limit -> q3_revenue
+               "dedup_actions",        # first-wins actions -> dedup_exact
                "count_by_event_type",  # per-type counts -> event_type_pivot
-               "token_counts",         # token counting -> bpe_token_counts
                "char_classes",         # char-class regexes -> quality_scores
                "fingerprints",         # md5 content hash -> hash_sample_k
                "global_shuffle",       # seeded reorder -> stratified_sample
-               "chars_percentiles",    # percentile hist -> grouped_percentiles
                "regex_key_filter",     # vectorized regex filter -> pii_scrub
                "token_rarity",         # two-pass vocab join -> tfidf_topk
-               "top3_orders_per_customer",  # grouped_topk -> per_lang_sample
-               "hash_sample_k",        # md5-rank sampling -> per_lang_sample
-               "distinct_lang_source", # distinct pairs -> langs_per_source
-               "event_gaps",           # partitioned_window -> running_revenue
-               "session_ids",          # sessionize bucket -> session_windows
-               "chars_histogram",      # bincount partials -> token_histogram
-               "weighted_sample",      # md5 sampling -> per_lang_sample +
-                                       # stratified_sample (keeps
-                                       # frequent_tokens in-window)
-               "above_median_docs",    # quantile cutoff -> range_partition_docs
-               "stratified_sample")    # grouped sampling -> per_lang_sample
+               "top3_orders_per_customer",  # grouped topk -> tfidf_topk
+               "distinct_lang_source", # distinct pairs -> frequent_tokens
+               "session_ids",          # sessionize bucket -> event_gaps
+               "above_median_docs",    # quantile cutoff -> chars_percentiles
+               # round-4 demotions (all strict-green in CORRECTNESS_r03):
+               "embedding_nn",         # broadcast-query matmul -> ann_topk
+               "value_zscores",        # exact-int moment partials -> doc_stats_by_lang
+               "session_windows",      # session windows -> hourly_windows
+               "grouped_percentiles",  # percentile hist -> chars_percentiles
+               "per_lang_sample",      # per-group sampling -> stratified_sample
+               "repetition_ratio",     # map-only doc scoring -> quality_scores
+               "bpe_token_counts",     # token counting -> token_counts
+               "range_partition_docs", # quantile boundaries -> chars_percentiles
+               "langs_per_source",     # two-level agg -> frequent_tokens
+               "token_histogram")      # bincount partials -> chars_histogram
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

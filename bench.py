@@ -94,6 +94,12 @@ def _consume(res) -> int:
 def run_bench() -> dict:
     import ray
 
+    # Measure the host's CPU state around the bench so the sample is
+    # falsifiable against VM drift (skipped inside scaling legs: the parent
+    # run_scaling already brackets the legs with the same probe).
+    probe_before = (None if os.environ.get("GRAFT_BENCH_HEADLINE_ONLY")
+                    else _vm_cpu_probe())
+
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
@@ -188,7 +194,24 @@ def run_bench() -> dict:
         "stitched_convs": stitch_rows,
     }
     ray.shutdown()
+    if probe_before is not None:
+        probe_after = _vm_cpu_probe()
+        result["vm_cpu_ceiling_before"] = probe_before["ceiling"]
+        result["vm_cpu_ceiling_after"] = probe_after["ceiling"]
+        result["vm_mops_per_core_before"] = probe_before["mops_per_core_1p"]
+        result["vm_mops_per_core_after"] = probe_after["mops_per_core_1p"]
     return result
+
+
+def _burn(q, secs: float):
+    """CPU-burn worker (module level: picklable under spawn/forkserver)."""
+    t0 = time.monotonic()
+    n, x = 0, 1.0
+    while time.monotonic() - t0 < secs:
+        for _ in range(100000):
+            x = x * 1.0000001 + 0.1
+        n += 100000
+    q.put(n)
 
 
 def _vm_cpu_ceiling(lo: int = 8, hi: int = 32, secs: float = 4.0) -> float:
@@ -197,23 +220,28 @@ def _vm_cpu_ceiling(lo: int = 8, hi: int = 32, secs: float = 4.0) -> float:
 
     The VM's effective per-core speed drifts with host contention; in slow
     windows the silicon itself scales 8->32 at well under 4x, capping ANY
-    pipeline's measurable efficiency. Reporting this alongside each scaling
-    sample makes the sample interpretable: pipeline efficiency should be
-    read relative to min(1, ceiling), not an ideal 4x."""
+    pipeline's measurable efficiency. Reporting this alongside each sample
+    makes the sample interpretable: pipeline efficiency (and round-over-round
+    wall times) should be read relative to min(1, ceiling), not ideal 4x."""
     import multiprocessing as mp
 
-    def burn(q):
-        t0 = time.monotonic()
-        n, x = 0, 1.0
-        while time.monotonic() - t0 < secs:
-            for _ in range(100000):
-                x = x * 1.0000001 + 0.1
-            n += 100000
-        q.put(n)
+    return _vm_cpu_probe(lo, hi, secs)["ceiling"]
+
+
+def _vm_cpu_probe(lo: int = 8, hi: int = 32, secs: float = 4.0) -> dict:
+    """Burn-probe with both the scaling ceiling AND absolute speed.
+
+    ``ceiling`` normalizes scaling-efficiency samples; ``mops_per_core_1p``
+    (single-process burn rate, millions of loop iterations/s) normalizes
+    ABSOLUTE wall times across rounds — a uniform round-over-round slowdown
+    with an equal drop here is host drift, not a code regression."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork") if "fork" in mp.get_all_start_methods() else mp
 
     def agg(nproc: int) -> float:
-        q = mp.Queue()
-        ps = [mp.Process(target=burn, args=(q,)) for _ in range(nproc)]
+        q = ctx.Queue()
+        ps = [ctx.Process(target=_burn, args=(q, secs)) for _ in range(nproc)]
         for p in ps:
             p.start()
         total = sum(q.get() for _ in ps)
@@ -221,7 +249,11 @@ def _vm_cpu_ceiling(lo: int = 8, hi: int = 32, secs: float = 4.0) -> float:
             p.join()
         return total / secs
 
-    return round((agg(hi) / agg(lo)) / (hi / lo), 3)
+    one = agg(1)
+    return {
+        "ceiling": round((agg(hi) / agg(lo)) / (hi / lo), 3),
+        "mops_per_core_1p": round(one / 1e6, 2),
+    }
 
 
 def run_scaling() -> dict:
@@ -253,12 +285,14 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    ceil_before = _vm_cpu_ceiling(lo_cpus, hi_cpus)
+    probe_before = _vm_cpu_probe(lo_cpus, hi_cpus)
     lo_runs, hi_runs = [], []
     for _ in range(rounds):
         lo_runs.append(run(lo_cpus))
         hi_runs.append(run(hi_cpus))
-    ceil_after = _vm_cpu_ceiling(lo_cpus, hi_cpus)
+    probe_after = _vm_cpu_probe(lo_cpus, hi_cpus)
+    ceil_before = probe_before["ceiling"]
+    ceil_after = probe_after["ceiling"]
     lo = min(lo_runs, key=lambda r: r["value"])
     hi = min(hi_runs, key=lambda r: r["value"])
     thr_lo = lo["turns_per_sec"]
@@ -280,6 +314,8 @@ def run_scaling() -> dict:
         "scaling_efficiency": round(eff, 3),
         "vm_cpu_ceiling_before": ceil_before,
         "vm_cpu_ceiling_after": ceil_after,
+        "vm_mops_per_core_before": probe_before["mops_per_core_1p"],
+        "vm_mops_per_core_after": probe_after["mops_per_core_1p"],
         "efficiency_vs_vm_ceiling": round(
             eff / min(1.0, max(ceil_before, ceil_after)), 3
         ),
