@@ -99,6 +99,59 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
     )
 
 
+def dense_lookup_array_ref(ds, key_col: str, val_col: str, *,
+                           dtype=np.int16, fill=-1,
+                           max_bytes: int = 1 << 30):
+    """Build a dense ``key -> val`` numpy lookup array from a Dataset
+    WITHOUT materializing the table on the driver, and return the
+    ``ObjectRef`` of the finished array (pass it into ``map_batches``
+    closures; ``ray.get`` it inside the task).
+
+    Shape of the build: per-block key maxima are computed by small Ray
+    tasks (driver sees one int per block), then ONE reduce task streams
+    the blocks ``ray.get``-one-at-a-time into the array — peak memory in
+    that task is the array plus a single block, and the driver never
+    holds a row. This is the scale-safe form of the J1 broadcast lookup
+    (reference's in-memory ``image_map``, app/main.py:402-413) for dense
+    integer keyspaces (e.g. TPC-H custkey 1..N, ~``itemsize`` bytes per
+    key).
+
+    ``max_bytes`` guards the dense representation itself: above it the
+    array is no longer a sane broadcast object and callers must switch to
+    ``bucketed_hash_join`` (sparse or huge keyspaces) — we raise with
+    that instruction rather than silently shipping a multi-GB object.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    refs = ds.to_arrow_refs()
+
+    @ray.remote
+    def block_max(tbl: pa.Table) -> int:
+        v = pc.max(tbl[key_col]).as_py()
+        return -1 if v is None else int(v)
+
+    @ray.remote
+    def build(max_key: int, block_refs) -> np.ndarray:
+        arr = np.full(max_key + 1, fill, dtype=dtype)
+        for r in block_refs:  # one block resident at a time
+            b = ray.get(r)
+            keys = np.asarray(b[key_col])
+            arr[keys] = np.asarray(b[val_col]).astype(dtype)
+        return arr
+
+    max_key = max(ray.get([block_max.remote(r) for r in refs]), default=-1)
+    nbytes = (max_key + 1) * np.dtype(dtype).itemsize
+    if nbytes > max_bytes:
+        raise ValueError(
+            f"dense lookup array for {key_col!r} would be {nbytes} bytes "
+            f"(max_key={max_key}); keyspace is too large/sparse for a "
+            "broadcast array — use bucketed_hash_join instead"
+        )
+    # pass refs nested in a list so the reduce task resolves them lazily
+    return build.remote(max_key, list(refs))
+
+
 def broadcast_anti_filter(ds, key: str, key_set, *, keep_matches: bool = False):
     """Semi/anti join with a broadcast key set: ``ray.put`` the (small) set
     once, filter each Arrow batch vectorized. keep_matches=True → semi

@@ -336,23 +336,21 @@ def orders_by_nation(sf_dir: str):
     from ray.data.aggregate import Sum
 
     # Map-side lookup shipped as a FLAT INT ARRAY, not a Python dict: a
-    # custkey-indexed int8 array of nation ids is ~1 byte/customer (vs
+    # custkey-indexed int16 array of nation ids is ~2 bytes/customer (vs
     # ~100 B/entry for a dict) and lookup is one numpy fancy-index per
-    # batch. custkeys are dense (TPC-H 1..N); a sparse keyspace would
-    # route the customer side through functions.joins.bucketed_hash_join
-    # instead. Built distributed (map_batches partials), only the compact
-    # arrays touch the driver; broadcast ONCE via ray.put.
+    # batch. custkeys are dense (TPC-H 1..N); a sparse/huge keyspace
+    # makes dense_lookup_array_ref raise with instructions to route the
+    # customer side through functions.joins.bucketed_hash_join instead.
+    # Built DISTRIBUTED: per-block maxima + one reduce task stream the
+    # customer table into the array; the driver only ever holds the
+    # ObjectRef (never a customer row).
+    from ..functions.joins import dense_lookup_array_ref
+
     nat = read_table(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nation_names = nat.sort_values("n_nationkey")["n_name"].to_numpy()
 
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust_df = cust.to_pandas()
-    max_key = int(cust_df["c_custkey"].max())
-    key_to_nation = np.full(max_key + 1, -1, dtype=np.int16)
-    key_to_nation[cust_df["c_custkey"].to_numpy()] = cust_df[
-        "c_nationkey"
-    ].to_numpy().astype(np.int16)
-    lookup_ref = ray.put(key_to_nation)
+    lookup_ref = dense_lookup_array_ref(cust, "c_custkey", "c_nationkey")
 
     def partial(batch: pa.Table) -> pa.Table:
         # lookup + PARTIAL aggregation per batch (pre-aggregate before the
@@ -1163,13 +1161,12 @@ def revenue_rollup(sf_dir: str):
     region_of_nation = nat["n_regionkey"].to_numpy()
     region_names = reg["r_name"].to_numpy()
 
+    # custkey -> nationkey built distributed (see orders_by_nation): the
+    # driver holds only the ObjectRef, never a customer row.
+    from ..functions.joins import dense_lookup_array_ref
+
     cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
-    cust_df = cust.to_pandas()
-    key_to_nation = np.full(int(cust_df["c_custkey"].max()) + 1, -1, np.int16)
-    key_to_nation[cust_df["c_custkey"].to_numpy()] = (
-        cust_df["c_nationkey"].to_numpy().astype(np.int16)
-    )
-    lookup_ref = ray.put(key_to_nation)
+    lookup_ref = dense_lookup_array_ref(cust, "c_custkey", "c_nationkey")
 
     def partial(batch: pa.Table) -> pa.Table:
         lookup = ray.get(lookup_ref)
