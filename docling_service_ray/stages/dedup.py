@@ -464,22 +464,24 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     distributed (the 100 TB verify plan):
 
     1. candidates are pruned per batch (vectorized drop_duplicates) and
-       materialized ONCE — the candidate set is tiny by LSH construction
-       (cross-band duplicates measured at ~3%, so a global dedup shuffle
-       costs more than it saves; verify_bucket drops the stragglers),
-       and materializing stops the banding stage from re-executing per
-       consumer;
-    2. the corpus is semi-filtered to candidate ids with a broadcast
+       collected ONCE — the candidate set is tiny by LSH construction
+       (cross-band duplicates measured at ~3%), and collecting stops the
+       banding stage from re-executing per consumer;
+    2. pair buckets are assigned up front (hash of ``a``), and the
+       DISTINCT (bucket, doc-id) needs are collected into one compact
+       broadcast map (sorted ids + bucket runs, numpy arrays). This is
+       the same O(candidate-ids) driver contract the candidate-id
+       semi-filter already requires — NOT an O(corpus) collect — and it
+       replaces what used to be a whole extra sort shuffle keyed by doc
+       id (the text-attach exchange), which on measured runs cost more
+       than the verification itself;
+    3. the corpus is semi-filtered to candidate ids with a broadcast
        ``is_in`` (the driver holds only the candidate-id set, never
-       text);
-    3. pair buckets are assigned up front (hash of ``a``), and each
-       pair emits its DISTINCT (bucket, doc-id) needs — so shuffle A
-       (keyed by doc id) attaches each text to its needing buckets, and
-       shuffle B (keyed by pair bucket) co-locates id-only pair rows
-       with ONE text copy per (bucket, id). A doc in k pairs ships at
-       most min(k, n_buckets) text copies instead of k — the text
-       volume through the exchange is bounded by bucket fan-out, not
-       pair multiplicity;
+       text), and each surviving text row fans out to its needing
+       buckets vectorized via the broadcast map. A doc in k pairs ships
+       at most min(k, n_buckets) text copies into the ONE shuffle
+       (keyed by pair bucket) — text volume is bounded by bucket
+       fan-out, not pair multiplicity;
     4. each verify task builds its id->text dict once and scores pairs
        in a batched loop — one task per bucket, never one dispatch per
        pair.
@@ -494,6 +496,7 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     Reference dedup-loop analog: scripts/r2_migrate_xxhash.py:256-308
     (scan -> hash -> resolve), re-expressed as two hash co-locations.
     """
+    import ray
     import ray.data as rd
 
     from ..functions.hashing import bucket_column
@@ -504,112 +507,107 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     # the schema, doubling the expensive stage
     id_type = id_type or _id_arrow_type(text_ds, id_col)
 
-    pairs = cand.map_batches(
-        lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
-        batch_format="pandas",
-    ).materialize()
-    if pairs.count() == 0:
+    # ONE collect of the deduped candidate pairs. Size class: O(candidate
+    # pairs) — the same driver contract this plan has always had (the
+    # needs map and candidate-id set below are derived views of exactly
+    # this table; LSH keeps candidates a sliver of the corpus). Holding
+    # the table itself lets the bucket assignment and needs map be
+    # computed locally instead of spending two more whole-pipeline
+    # executions (materialize + a separate needs collect), and the
+    # corpus text still never touches the driver.
+    pairs_df = (
+        cand.map_batches(
+            lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
+            batch_format="pandas",
+        )
+        .to_pandas()
+        .drop_duplicates(["a", "b"])
+    )
+    if len(pairs_df) == 0:
         return rd.from_arrow(_empty_pairs(id_type))
 
-    id_batches = pairs.map_batches(
-        lambda df: pd.DataFrame(
-            {"id": pd.unique(pd.concat([df["a"], df["b"]]))}
+    # pair buckets are assigned FIRST (hash of ``a``); each candidate
+    # text then ships ONCE PER (bucket, id) — not once per pair side. A
+    # doc appearing in k pairs puts at most min(k, n_buckets) copies
+    # into the shuffle, and the pair rows themselves carry only ids.
+    pairs_tbl = bucket_column(
+        pa.table(
+            {
+                "a": _ids_array(pairs_df["a"].to_numpy(), id_type),
+                "b": _ids_array(pairs_df["b"].to_numpy(), id_type),
+            }
         ),
-        batch_format="pandas",
-    ).to_pandas()
-    cand_ids = set(id_batches["id"].tolist())
+        "a", n_buckets, "__vb",
+    )
+    # feed the pair rows back distributed, pre-split so the shuffle sees
+    # parallel input blocks rather than one giant one
+    n_chunks = max(1, min(n_buckets, pairs_tbl.num_rows // 8192))
+    step = -(-pairs_tbl.num_rows // n_chunks)
+    pb_pairs = rd.from_arrow(
+        [pairs_tbl.slice(i, step) for i in range(0, pairs_tbl.num_rows, step)]
+    )
+
+    # the distinct (id -> needing buckets) map, broadcast ONCE
+    vb_np = pairs_tbl["__vb"].to_numpy()
+    needs_df = pd.DataFrame(
+        {
+            "id": np.concatenate(
+                [pairs_df["a"].to_numpy(), pairs_df["b"].to_numpy()]
+            ),
+            "vb": np.concatenate([vb_np, vb_np]).astype(np.int64),
+        }
+    ).drop_duplicates().sort_values("id", kind="mergesort")
+    uids, starts, counts = np.unique(
+        needs_df["id"].to_numpy(), return_index=True, return_counts=True
+    )
+    needs_ref = ray.put(
+        (uids, starts.astype(np.int64), counts.astype(np.int64),
+         needs_df["vb"].to_numpy().astype(np.int64))
+    )
+    cand_ids = set(uids.tolist())
 
     texts = text_ds.select_columns([id_col, text_col])
     needed = broadcast_anti_filter(texts, id_col, cand_ids, keep_matches=True)
 
-    # pair buckets are assigned FIRST (hash of ``a``); each candidate
-    # text then ships ONCE PER (bucket, id) — not once per pair side. A
-    # doc appearing in k pairs previously put k text copies through the
-    # pair shuffle; now it puts at most min(k, n_buckets) copies, and
-    # the pair rows themselves carry only ids.
-    pb_pairs = pairs.map_batches(
-        lambda t: bucket_column(t, "a", n_buckets, "__vb"),
-        batch_format="pyarrow",
-    )
-
-    def need_rows(t: pa.Table) -> pa.Table:
-        df = t.select(["a", "b", "__vb"]).to_pandas()
-        out = pd.concat(
-            [
-                df[["a", "__vb"]].rename(columns={"a": "id"}),
-                df[["b", "__vb"]].rename(columns={"b": "id"}),
-            ]
-        ).drop_duplicates()
-        return pa.table(
-            {
-                "id": _ids_array(out["id"].to_numpy(), id_type),
-                "vb": pa.array(out["__vb"].to_numpy().astype(np.int64)),
-            }
-        )
-
-    needs = pb_pairs.map_batches(need_rows, batch_format="pyarrow")
-
-    # shuffle A (keyed by doc id): texts meet their need-rows; output is
-    # one (bucket, id, text) row per distinct need
-    def tag_needs(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "id": t["id"],
-                "vb": t["vb"],
-                "text": pa.nulls(n, pa.string()),
-                "side": pa.array(np.zeros(n, np.int8)),
-            }
-        )
-
-    def tag_texts(t: pa.Table) -> pa.Table:
+    def expand_texts(t: pa.Table) -> pa.Table:
+        """Fan each candidate text out to its needing pair buckets —
+        vectorized hash lookup + run expansion, no per-row python."""
         import pyarrow.compute as pc
 
-        n = t.num_rows
+        b_uids, b_starts, b_counts, b_vbs = ray.get(needs_ref)
+        ids = np.asarray(t[id_col])
+        pos = pd.Index(b_uids).get_indexer(ids)
+        ok = pos >= 0
+        if not ok.all():  # defensive: semi-filter guarantees presence
+            t = t.filter(pa.array(ok))
+            pos = pos[ok]
+        c = b_counts[pos]
+        o = b_starts[pos]
+        total = int(c.sum())
+        ridx = np.repeat(np.arange(len(pos)), c)
+        within = np.arange(total) - np.repeat(np.cumsum(c) - c, c)
+        vb_out = b_vbs[np.repeat(o, c) + within]
+        tt = t.take(ridx)
+        n = tt.num_rows
         return pa.table(
             {
-                "id": pc.cast(t[id_col], id_type),
-                "vb": pa.nulls(n, pa.int64()),
-                "text": pc_cast_string(t[text_col]),
+                "vb": pa.array(vb_out),
+                "a": pa.nulls(n, id_type),
+                "b": pa.nulls(n, id_type),
+                "id": pc.cast(tt[id_col], id_type),
+                "text": pc_cast_string(tt[text_col]),
                 "side": pa.array(np.ones(n, np.int8)),
             }
         )
 
-    u1 = needs.map_batches(tag_needs, batch_format="pyarrow").union(
-        needed.map_batches(tag_texts, batch_format="pyarrow")
-    )
-    by_id = u1.map_batches(
-        lambda t: bucket_column(t, "id", n_buckets, "__ab"),
-        batch_format="pyarrow",
+    placed = needed.map_batches(
+        expand_texts, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def place_bucket(grp: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        tmask = pc.equal(grp["side"], 1)
-        tdf = grp.filter(tmask).select(["id", "text"]).to_pandas()
-        ndf = (
-            grp.filter(pc.invert(tmask))
-            .select(["id", "vb"])
-            .to_pandas()
-            .drop_duplicates()
-        )
-        m = ndf.merge(tdf, on="id", how="inner")
-        return pa.table(
-            {
-                "vb": pa.array(m["vb"].to_numpy().astype(np.int64)),
-                "id": _ids_array(m["id"].to_numpy(), id_type),
-                "text": pa.array(m["text"].astype(str).tolist(), pa.string()),
-            }
-        )
-
-    placed = by_id.groupby("__ab").map_groups(
-        place_bucket, batch_format="pyarrow"
-    )
-
-    # shuffle B (keyed by pair bucket): id-only pair rows + the bucket's
-    # text table co-locate; each task builds an id->text dict once and
-    # verifies with memoized reps
+    # shuffle A (keyed by doc id): texts meet their need-rows; output is
+    # the ONE shuffle (keyed by pair bucket): id-only pair rows + the
+    # bucket's fanned-out text rows co-locate; each task builds an
+    # id->text dict once and verifies with memoized reps
     def tag_pairs(t: pa.Table) -> pa.Table:
         n = t.num_rows
         return pa.table(
@@ -623,22 +621,7 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
             }
         )
 
-    def tag_placed(t: pa.Table) -> pa.Table:
-        n = t.num_rows
-        return pa.table(
-            {
-                "vb": t["vb"],
-                "a": pa.nulls(n, id_type),
-                "b": pa.nulls(n, id_type),
-                "id": t["id"],
-                "text": t["text"],
-                "side": pa.array(np.ones(n, np.int8)),
-            }
-        )
-
-    u2 = pb_pairs.map_batches(tag_pairs, batch_format="pyarrow").union(
-        placed.map_batches(tag_placed, batch_format="pyarrow")
-    )
+    u2 = pb_pairs.map_batches(tag_pairs, batch_format="pyarrow").union(placed)
 
     def verify_bucket(grp: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
