@@ -99,7 +99,9 @@ def _registry() -> tuple[dict, dict]:
                "bpe_token_counts",     # token counting -> token_counts
                "range_partition_docs", # quantile boundaries -> chars_percentiles
                "langs_per_source",     # two-level agg -> frequent_tokens
-               "token_histogram")      # bincount partials -> chars_histogram
+               "token_histogram",      # bincount partials -> chars_histogram
+               "multimodal_meta")      # fake-codec roundtrip -> png_meta
+                                       # (REAL stdlib-zlib PNG decode)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -701,6 +701,40 @@ def multimodal_meta(sf_dir: str):
     return filtered.map_batches(project, batch_format="pandas")
 
 
+@register(
+    "png_meta",
+    # exact SQL mirror of the REAL-PNG roundtrip (stages/multimodal.py
+    # attach_png_payload_batch -> PngDecodeMeta, codec =
+    # extract/pngcodec.py): dimensions derive from text length, and the
+    # planted gradient pixel[i] = i % 256 has the closed-form sum
+    # (n // 256) * 32640 + r*(r-1)/2 with r = n % 256. If either the
+    # encoder or the decoder (inflate + all five scanline de-filters)
+    # is wrong, pixel_sum diverges.
+    "WITH m AS (SELECT doc_id, 1 + length(text) % 48 AS w, "
+    "1 + (length(text) * 7) % 40 AS h FROM documents), "
+    "s AS (SELECT doc_id, w, h, w * h * 3 AS n FROM m) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+    "CAST(3 AS BIGINT) AS channels, "
+    "CAST((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2 AS BIGINT) "
+    "AS pixel_sum FROM s",
+)
+def png_meta(sf_dir: str):
+    """M8 made real: per-doc PNG encode (stdlib zlib, cycling scanline
+    filters) -> actor-pool full decode -> oracle-checked dimensions +
+    exact pixel sum. Reference PNG-encodes extracted images keyed by
+    content hash (app/main.py:711-718)."""
+    from ..stages.multimodal import PngDecodeMeta, attach_png_payload_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = ds.map_batches(
+        attach_png_payload_batch, batch_format="pyarrow", batch_size=256
+    )
+    return with_payload.map_batches(
+        PngDecodeMeta, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    ).select_columns(["doc_id", "width", "height", "channels", "pixel_sum"])
+
+
 @register("multimodal_features")  # rows-only (binary payload featurization)
 def multimodal_features(sf_dir: str):
     """Full multimodal chain: attach payload -> decode -> size/zone

@@ -2,10 +2,12 @@
 
 Image/audio/video travel as opaque ``binary`` columns + struct metadata;
 decode / feature-extract / resize / frame-sample are actor-pool
-``map_batches`` stages. The image/audio codec libraries are NOT in this
-container, so the codec step is STUBBED behind an import-try with a
-clearly-marked deterministic fake — but the Ray-side plumbing (schema,
-batch sizing, actor signature, output layout) is real and tested.
+``map_batches`` stages. PNG decode is REAL (pure-stdlib codec from the
+public spec — ``extract.pngcodec``); other formats' codec libraries are
+NOT in this container, so those steps are STUBBED behind an import-try
+with a clearly-marked deterministic fake — the Ray-side plumbing
+(schema, batch sizing, actor signature, output layout) is real and
+tested either way.
 
 Payload wire format for the deterministic fake (self-describing header)::
 
@@ -23,6 +25,8 @@ import struct
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+from ..extract.pngcodec import PNG_SIG, decode_png, encode_png
 
 MAGIC = b"FAKEIMG"
 HEADER = struct.Struct("<2H")
@@ -61,10 +65,10 @@ def attach_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
 class DecodeImage:
     """Actor-pool decode stage.
 
-    ``__init__`` resolves the codec once per actor: real PIL if available
-    (not in this container), else the deterministic FAKEIMG parser. A
-    payload that matches neither codec raises NotImplementedError, recorded
-    per row as ok=False.
+    ``__init__`` resolves the codec table once per actor. PNG payloads
+    decode for REAL (pure-stdlib codec, ``extract.pngcodec``); FAKEIMG
+    payloads use the deterministic parser; anything else raises
+    NotImplementedError, recorded per row as ok=False.
     """
 
     def __init__(self):
@@ -76,6 +80,15 @@ class DecodeImage:
             self.codec = "fake"
 
     def decode_one(self, payload: bytes) -> dict:
+        if payload[: len(PNG_SIG)] == PNG_SIG:
+            info = decode_png(payload)
+            return {
+                "width": info["width"],
+                "height": info["height"],
+                "n_bytes": len(payload),
+                "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+                "codec": "png",
+            }
         if payload[: len(MAGIC)] == MAGIC:
             w, h = HEADER.unpack(
                 payload[len(MAGIC) : len(MAGIC) + HEADER.size]
@@ -108,6 +121,43 @@ class DecodeImage:
         batch = batch.append_column("image_meta", pa.array(metas, META_TYPE))
         batch = batch.append_column("decode_ok", pa.array(oks, pa.bool_()))
         return batch.append_column("decode_error", pa.array(errs, pa.string()))
+
+
+def attach_png_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Derive a REAL PNG payload per row: RGB image whose dimensions come
+    from the text length and whose flattened pixel bytes follow the
+    gradient ``pixel[i] = i % 256`` — a pattern an SQL oracle can mirror
+    byte-exactly (dimensions AND pixel sum) without any codec. Rows are
+    encoded with the cycling filter choice, so decoding this corpus
+    exercises all five PNG scanline filters."""
+    payloads = []
+    for t in batch[text_col].to_pylist():
+        n = len(t or "")
+        w = 1 + n % 48
+        h = 1 + (n * 7) % 40
+        pix = (np.arange(w * h * 3, dtype=np.int64) % 256).astype(np.uint8)
+        payloads.append(encode_png(pix.reshape(h, w, 3), filters="cycle"))
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class PngDecodeMeta:
+    """Actor-pool REAL-PNG decode stage: full decode (inflate + de-filter)
+    per payload, emitting dimensions, channel count and the exact pixel
+    sum — the fields an SQL oracle can check independently."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, sums = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            info = decode_png(p)
+            widths.append(info["width"])
+            heights.append(info["height"])
+            chans.append(info["channels"])
+            sums.append(int(info["pixels"].astype(np.int64).sum()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("width", pa.array(widths, pa.int64()))
+        out = out.append_column("height", pa.array(heights, pa.int64()))
+        out = out.append_column("channels", pa.array(chans, pa.int64()))
+        return out.append_column("pixel_sum", pa.array(sums, pa.int64()))
 
 
 class ResizeFilter:
