@@ -21,17 +21,25 @@ The delta-frontier is sound because labels only decrease and edges are
 static: if a neighbour's label did not change in round k, its value was
 already folded into the node's label in round k-1.
 
-Scale shape: each round is one bucketed hash join (O(E) exchange of the
-static symmetric edge table + O(frontier) label rows — the shrinking
-frontier cuts the PUSHED row volume and the min-agg input, while the edge
-side re-shuffles at full size each round, the known cost of shuffle-based
-CC) plus one bucketed min-aggregation over O(nodes + pushed) rows;
-labels are materialized per round (iterative lineage
-would otherwise re-execute all prior rounds), and the frontier — the only
-thing the driver ever sees a COUNT of — shrinks geometrically after the
-first rounds. Round count is bounded by the largest component's diameter:
-duplicate clusters are near-cliques (diameter 2-3 in practice), so the
-loop is short; ``max_rounds`` guards pathological chains loudly.
+Scale shape, by frontier size per round:
+
+- **partitioned regime** (big frontiers): the symmetric edge table and
+  the label table are hash-split by node ONCE into per-bucket object
+  store tables (raw Ray tasks — the shared-partitioned-state shape the
+  Dataset API can't express across iterations); each round moves ONLY
+  the pushed ``(nbr, min label)`` rows between buckets, O(edges
+  incident to the frontier), never the edge or label tables themselves.
+- **broadcast tail** (small frontiers): map-only rounds against a
+  ``ray.put`` frontier dict, zero shuffles.
+- a generic per-round bucketed-join round (O(E) exchange) survives only
+  as the fallback for the rare case where a frontier REGROWS past the
+  broadcast threshold after the partitioned phase ended.
+
+The frontier — the only thing the driver ever sees a COUNT of — shrinks
+geometrically after the first rounds. Round count is bounded by the
+largest component's diameter: duplicate clusters are near-cliques
+(diameter 2-3 in practice), so the loop is short; ``max_rounds`` guards
+pathological chains loudly.
 
 Label order: the component representative is the MINIMUM id — numeric
 order for integer ids, lexicographic for string ids (consistent with the
@@ -147,11 +155,177 @@ def _broadcast_round(edges_sym, labels, frontier, id_type: pa.DataType):
     return new_labels, new_frontier
 
 
+def _empty_pair(id_type: pa.DataType, cols=("node", "label")) -> pa.Table:
+    return pa.table({c: pa.array([], id_type) for c in cols})
+
+
+def _split_refs_by_bucket(ds, n_buckets: int, id_type: pa.DataType,
+                          cols: tuple):
+    """Hash-partition a (node, ...) dataset ONCE into one consolidated
+    Arrow table ref per bucket, held in the object store. This is the
+    'shared partitioned state' shape the Dataset API cannot express
+    across iterations — raw Ray tasks by design."""
+    import pyarrow.compute as pc
+    import ray
+
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, "node", n_buckets, _BUCKET),
+        batch_format="pyarrow",
+    )
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        # empty blocks can arrive schema-less (map UDFs skip zero-row
+        # batches at high parallelism) — treat them as no rows anywhere
+        if tbl.num_rows == 0 or _BUCKET not in tbl.column_names:
+            out = [_empty_pair(id_type, cols)] * n_buckets
+            return out if n_buckets > 1 else out[0]
+        out = []
+        for b in range(n_buckets):
+            sub = tbl.filter(pc.equal(tbl[_BUCKET], b))
+            out.append(sub.drop_columns([_BUCKET]).select(list(cols)))
+        return out if n_buckets > 1 else out[0]
+
+    @ray.remote
+    def concat(*tbls: pa.Table) -> pa.Table:
+        tbls = [t for t in tbls if t.num_rows]
+        if not tbls:
+            return _empty_pair(id_type, cols)
+        return pa.concat_tables(tbls).combine_chunks()
+
+    block_refs = bucketed.to_arrow_refs()
+    split_refs = [
+        split.options(num_returns=n_buckets if n_buckets > 1 else 1).remote(r)
+        for r in block_refs
+    ]
+    if n_buckets == 1:
+        split_refs = [[r] for r in split_refs]
+    return [
+        concat.remote(*[split_refs[blk][b] for blk in range(len(block_refs))])
+        for b in range(n_buckets)
+    ]
+
+
+def _partitioned_cc_rounds(edges_sym, labels, *, n_buckets: int,
+                           id_type: pa.DataType, stop_below: int,
+                           max_rounds: int, round_offset: int = 0):
+    """Big-frontier label-propagation rounds with STATIC partitioned state.
+
+    The symmetric edge table and the label table are each hash-split by
+    ``node`` into ``n_buckets`` object-store tables ONCE; every round then
+    moves only the pushed ``(nbr, min label)`` rows between buckets —
+    O(edges incident to the frontier) — instead of re-shuffling the full
+    edge and label tables the way the generic per-round bucketed join
+    did. Runs until the frontier drops to ``stop_below`` (the broadcast
+    tail's territory) or converges; returns
+    ``(labels_ds, frontier_ds, rounds_used)`` as plain Datasets.
+    """
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    def tbl_count(t: pa.Table) -> int:
+        return t.num_rows
+
+    edge_parts = _split_refs_by_bucket(
+        edges_sym, n_buckets, id_type, ("node", "nbr"))
+    label_parts = _split_refs_by_bucket(
+        labels, n_buckets, id_type, ("node", "label"))
+    frontier_parts = list(label_parts)  # round 0: every node fresh
+    f_counts = ray.get([tbl_count.remote(r) for r in frontier_parts])
+
+    @ray.remote
+    def push(edge_tbl: pa.Table, frontier_tbl: pa.Table):
+        """Per-source-bucket push: frontier labels flow across this
+        bucket's edges; output pre-split by the TARGET node's bucket."""
+        out = [_empty_pair(id_type) for _ in range(n_buckets)]
+        if edge_tbl.num_rows and frontier_tbl.num_rows:
+            fmap = pd.Series(
+                frontier_tbl["label"].to_numpy(zero_copy_only=False),
+                index=frontier_tbl["node"].to_numpy(zero_copy_only=False),
+            )
+            node = edge_tbl["node"].to_numpy(zero_copy_only=False)
+            nbr = edge_tbl["nbr"].to_numpy(zero_copy_only=False)
+            lab = pd.Series(node).map(fmap)
+            hit = lab.notna().to_numpy()
+            if hit.any():
+                g = (pd.Series(lab.to_numpy()[hit], index=nbr[hit])
+                     .groupby(level=0, sort=False).min())
+                tgt = pa.table({"node": _ids(g.index.to_numpy(), id_type),
+                                "label": _ids(g.to_numpy(), id_type)})
+                tgt = bucket_column(tgt, "node", n_buckets, _BUCKET)
+                import pyarrow.compute as pc
+                for b in range(n_buckets):
+                    out[b] = tgt.filter(
+                        pc.equal(tgt[_BUCKET], b)).drop_columns([_BUCKET])
+        return out if n_buckets > 1 else out[0]
+
+    @ray.remote(num_returns=3)
+    def update(label_tbl: pa.Table, *pushed: pa.Table):
+        """Per-bucket min-merge: labels take the min of current value and
+        every pushed label; changed rows form the new frontier slice."""
+        pushed = [p for p in pushed if p.num_rows]
+        if not pushed or not label_tbl.num_rows:
+            return label_tbl, _empty_pair(id_type), 0
+        pdf = pd.concat([p.to_pandas() for p in pushed])
+        pmap = pdf.groupby("node", sort=False)["label"].min()
+        node = pd.Series(label_tbl["node"].to_numpy(zero_copy_only=False))
+        lab = label_tbl["label"].to_numpy(zero_copy_only=False).copy()
+        hit = node.isin(pmap.index).to_numpy()
+        changed = np.zeros(len(node), bool)
+        if hit.any():
+            pv = pmap.loc[node[hit]].to_numpy()
+            cur = lab[hit]
+            take = pv < cur
+            if take.any():
+                new_sub = cur.copy()
+                new_sub[take] = pv[take]
+                lab[hit] = new_sub
+                changed[np.flatnonzero(hit)[take]] = True
+        new_labels = pa.table({"node": _ids(node.to_numpy(), id_type),
+                               "label": _ids(lab, id_type)})
+        frontier = new_labels.filter(pa.array(changed))
+        return new_labels, frontier, frontier.num_rows
+
+    rounds = 0
+    while sum(f_counts) > stop_below:
+        if rounds + round_offset >= max_rounds:
+            break
+        pushed_matrix = [
+            push.options(
+                num_returns=n_buckets if n_buckets > 1 else 1
+            ).remote(edge_parts[b], frontier_parts[b])
+            for b in range(n_buckets)
+        ]
+        if n_buckets == 1:
+            pushed_matrix = [[r] for r in pushed_matrix]
+        results = [
+            update.remote(
+                label_parts[b],
+                *[pushed_matrix[s][b] for s in range(n_buckets)],
+            )
+            for b in range(n_buckets)
+        ]
+        label_parts = [r[0] for r in results]
+        frontier_parts = [r[1] for r in results]
+        f_counts = ray.get([r[2] for r in results])
+        rounds += 1
+        logger.info(
+            "connected_components round %d (partitioned): frontier=%d",
+            rounds + round_offset, sum(f_counts))
+
+    labels_ds = rd.from_arrow_refs(label_parts).materialize()
+    frontier_ds = rd.from_arrow_refs(frontier_parts).materialize()
+    return labels_ds, frontier_ds, rounds
+
+
 def connected_components(edges, *, src: str = "a", dst: str = "b",
                          nodes=None, node_col: str | None = None,
                          n_buckets: int = 32, max_rounds: int = 64,
                          id_type: pa.DataType | None = None,
-                         broadcast_frontier_max: int = 65536):
+                         broadcast_frontier_max: int = 65536,
+                         use_partitioned: bool = True,
+                         partitioned_min_frontier: int = 2048):
     """Connected components of the undirected graph given by ``edges``.
 
     Returns a Dataset ``(node, component)`` with one row per distinct
@@ -160,11 +334,16 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
     vertices that appear in no edge — they come back as their own
     singleton component.
 
-    Rounds run in one of two regimes, picked per round from the (free,
+    Rounds run in one of three regimes, picked from the (free,
     metadata-only) frontier count:
 
-    - **shuffle regime** (frontier > ``broadcast_frontier_max``): the
-      general 2-shuffle round described in the module docstring.
+    - **partitioned regime** (initial frontier >
+      ``partitioned_min_frontier``): edges and labels hash-split once
+      into per-bucket object-store tables; every round moves only the
+      pushed labels (see module docstring). Runs to convergence.
+    - **shuffle fallback** (frontier > ``broadcast_frontier_max`` in the
+      Dataset loop, e.g. after frontier regrowth): the general 2-shuffle
+      round described in the module docstring.
     - **broadcast tail** (frontier <= ``broadcast_frontier_max``): the
       frontier's labels are collected to the driver, ``ray.put`` ONCE,
       and the whole round is map-only — push = a map over the
@@ -256,7 +435,23 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
             "changed": pa.array(changed, pa.int8()),
         })
 
-    for rnd in range(1, max_rounds + 1):
+    # big initial frontier: run the partitioned-state regime TO
+    # CONVERGENCE — edges and labels are hash-split ONCE and only pushed
+    # labels move per round; even at a tiny tail frontier a partitioned
+    # round is a handful of object-store tasks, measured cheaper than the
+    # broadcast round's two Dataset executions. Below
+    # ``partitioned_min_frontier`` the two split passes don't amortize
+    # and the Dataset loop (broadcast tail / join fallback) runs instead.
+    # (``use_partitioned=False`` pins the legacy join-per-round fallback
+    # in tests; production callers leave it on.)
+    rounds_done = 0
+    if use_partitioned and frontier.count() > max(
+            0, min(partitioned_min_frontier, broadcast_frontier_max)):
+        labels, frontier, rounds_done = _partitioned_cc_rounds(
+            edges_sym, labels, n_buckets=n_buckets, id_type=id_type,
+            stop_below=0, max_rounds=max_rounds)
+
+    for rnd in range(rounds_done + 1, max_rounds + 1):
         n_front = frontier.count()  # materialized: metadata read, no work
         if n_front == 0:
             break

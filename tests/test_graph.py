@@ -82,9 +82,9 @@ def test_random_graph_matches_union_find(ray_session):
     assert got == expected
 
 
-def test_random_graph_shuffle_regime(ray_session):
-    # same graph, broadcast tail disabled: pins the 2-shuffle general
-    # path (the regime big frontiers take) to the union-find oracle
+def test_random_graph_partitioned_regime(ray_session):
+    # broadcast tail disabled: pins the partitioned-state big-frontier
+    # regime (edges/labels split once, only pushes move) to union-find
     rng = np.random.default_rng(11)
     n_blocks, blk = 40, 5
     base = rng.integers(0, n_blocks, 150) * blk
@@ -97,6 +97,38 @@ def test_random_graph_shuffle_regime(ray_session):
                 broadcast_frontier_max=0)
     got = dict(zip(df["node"], df["component"]))
     assert got == expected
+
+
+def test_random_graph_join_fallback_regime(ray_session):
+    # both fast regimes disabled: pins the legacy per-round bucketed-join
+    # fallback (kept for frontier regrowth) to the same oracle
+    rng = np.random.default_rng(11)
+    n_blocks, blk = 40, 5
+    base = rng.integers(0, n_blocks, 150) * blk
+    a = base + rng.integers(0, blk, 150)
+    b = base + rng.integers(0, blk, 150)
+    keep = a != b
+    expected = _uf_components(list(zip(a[keep].tolist(), b[keep].tolist())),
+                              nodes=set())
+    df = _cc_df(pa.table({"a": a[keep], "b": b[keep]}),
+                broadcast_frontier_max=0, use_partitioned=False)
+    got = dict(zip(df["node"], df["component"]))
+    assert got == expected
+
+
+def test_string_ids_partitioned_regime(ray_session):
+    df = _cc_df(pa.table({"a": ["x", "y", "q"], "b": ["y", "z", "r"]}),
+                broadcast_frontier_max=0, n_buckets=3)
+    got = dict(zip(df["node"], df["component"]))
+    assert got == {"x": "x", "y": "x", "z": "x", "q": "q", "r": "q"}
+
+
+def test_partitioned_single_bucket(ray_session):
+    # n_buckets=1 exercises the num_returns=1 degenerate path
+    df = _cc_df(pa.table({"a": [1, 2, 10], "b": [2, 3, 11]}),
+                broadcast_frontier_max=0, n_buckets=1)
+    got = dict(zip(df["node"], df["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
 def test_string_ids(ray_session):
