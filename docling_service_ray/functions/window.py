@@ -16,10 +16,12 @@ Scale plan (100 TB-safe):
   per-key Python dispatch (measured ~10x cheaper on corpus-cardinality
   keys, see ``pipelines/relational.py:stitch_events``).
 - Assumption (documented, standard for partitioned window engines): one
-  partition key's rows fit in a single task. For mega-keys, range-salt the
-  key upstream exactly like the stitch stage's salted two-level variant
-  (``stages/stitch.py``) — cumsum/row_number then need a per-salt offset
-  merge pass, which ``partitioned_window`` intentionally does not hide.
+  partition key's rows fit in a single task. For MEGA keys use
+  :func:`salted_partitioned_window`: hot keys are salted by an
+  order-aligned bucket of the order column, per-salt windows are
+  computed independently, and broadcast per-salt offsets (prefix
+  counts/sums + boundary lag values, pre-aggregated map-side) make the
+  result equal to the unsalted plan — still one shuffle.
 """
 
 from __future__ import annotations
@@ -34,6 +36,65 @@ _BUCKET = "__wbucket"
 
 # spec kinds -> (needs src column?, description)
 KINDS = ("row_number", "cumsum", "lag", "diff")
+
+
+def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
+    """Window columns over a SORTED frame (already ordered by
+    ``part_key`` then the order columns). ``part_key`` may be one column
+    name or a list (the salted path partitions by ``[key, salt]``).
+
+    lag/diff stay in the integer domain for integer sources: the lagged
+    values are computed with a numpy shift + first-of-group mask, never
+    pandas ``shift()``'s float64 NaN sentinel — exact for the full int64
+    range, not just |v| < 2^53. ``fill=None`` on an integer source
+    yields pandas nullable Int64.
+    """
+    import numpy as np
+
+    keys = [part_key] if isinstance(part_key, str) else list(part_key)
+    g = df.groupby(keys, sort=False)
+    # first row of each partition, via key-change detection on the sorted
+    # frame (cheap and dtype-agnostic)
+    if len(df):
+        first = np.zeros(len(df), bool)
+        first[0] = True
+        for k in keys:
+            col = df[k].to_numpy()
+            first[1:] |= col[1:] != col[:-1]
+    else:
+        first = np.zeros(0, bool)
+
+    for out, kind, src, fill in specs:
+        if kind == "row_number":
+            df[out] = (g.cumcount() + 1).astype("int64")
+        elif kind == "cumsum":
+            df[out] = g[src].cumsum().astype("int64")
+        elif kind in ("lag", "diff"):
+            vals = df[src].to_numpy()
+            prev = np.empty_like(vals)
+            if len(vals):
+                prev[1:] = vals[:-1]
+                prev[0] = vals[0]  # masked below
+            is_int = np.issubdtype(vals.dtype, np.integer)
+            if kind == "lag":
+                outv = prev.copy()
+            else:
+                outv = vals - prev if is_int else vals - prev.astype(float)
+            if fill is not None:
+                outv[first] = fill
+                df[out] = outv if not is_int else outv.astype("int64")
+            else:
+                if is_int:
+                    s = pd.array(outv, dtype="Int64")
+                    s[first] = pd.NA
+                    df[out] = s
+                else:
+                    outv = outv.astype(float)
+                    outv[first] = np.nan
+                    df[out] = outv
+        # specs are independent by contract: a later spec never reads an
+        # earlier spec's output column
+    return df
 
 
 def partitioned_window(
@@ -80,29 +141,199 @@ def partitioned_window(
     def window_bucket(grp: pa.Table) -> pa.Table:
         df = grp.drop_columns([_BUCKET]).to_pandas()
         df = df.sort_values([key] + order_by, kind="mergesort")
-        g = df.groupby(key, sort=False)
-        for out, kind, src, fill in specs:
-            if kind == "row_number":
-                df[out] = (g.cumcount() + 1).astype("int64")
-            elif kind == "cumsum":
-                df[out] = g[src].cumsum().astype("int64")
-            elif kind == "lag":
-                shifted = g[src].shift(1)
-                df[out] = (
-                    shifted.fillna(fill).astype(df[src].dtype)
-                    if fill is not None
-                    else shifted
-                )
-            elif kind == "diff":
-                delta = df[src] - g[src].shift(1)
-                df[out] = (
-                    delta.fillna(fill).astype("int64")
-                    if fill is not None
-                    else delta
-                )
-            # re-group: window columns must not leak across keys when a
-            # later spec reads an earlier output (not supported — specs
-            # are independent by contract)
+        df = _apply_window_specs(df, key, specs)
         return table_from_pandas(df[out_cols])
 
     return bucketed.groupby(_BUCKET).map_groups(window_bucket, batch_format="pyarrow")
+
+
+_SALT = "__wsalt"
+
+
+def salted_partitioned_window(
+    ds,
+    key: str,
+    order_col: str,
+    specs: list[tuple],
+    *,
+    hot_keys,
+    salt_width: int,
+    n_buckets: int = 64,
+    keep_columns: list[str] | None = None,
+):
+    """``partitioned_window`` for corpora with MEGA keys — partition keys
+    whose row count exceeds what one task should hold (the documented
+    limit of the unsalted plan).
+
+    Plan (one shuffle, same answer as the unsalted plan):
+
+    1. rows of a ``hot_keys`` member get salt ``order_col // salt_width``
+       (order-aligned, so each salt slice is internally orderable); all
+       other rows get salt ``-1`` and behave exactly as in
+       ``partitioned_window``;
+    2. per-(hot key, salt) summaries — row count, per-src sums, and the
+       order-maximal row's src values — are pre-aggregated map-side and
+       combined on the driver (tiny: |hot keys| x |salts| rows), turning
+       into broadcast OFFSETS: exclusive prefix count (row_number),
+       exclusive prefix sum (cumsum), and the previous non-empty salt's
+       last src value (lag/diff boundary);
+    3. ONE hash shuffle co-locates ``(key, salt)`` slices; each bucket
+       computes ordinary windows per slice and applies the broadcast
+       offsets to hot slices map-side.
+
+    Contract: ``order_col`` must be integer and UNIQUE per hot key (the
+    salted plan re-orders tie rows across salt boundaries otherwise —
+    the same uniqueness real engines demand of a salted window).
+    ``hot_keys`` is an explicit list, mirroring ``skew_salted_join``:
+    hot-key detection is the caller's (or a profiling pass's) job.
+    """
+    import numpy as np
+    import ray
+
+    order_by = [order_col]
+    for spec in specs:
+        if spec[1] not in KINDS:
+            raise ValueError(f"unknown window kind {spec[1]!r}")
+    if keep_columns is None:
+        keep = [key, order_col]
+        for _, kind, src, _ in specs:
+            if src is not None and src not in keep:
+                keep.append(src)
+        keep_columns = keep
+    out_cols = keep_columns + [s[0] for s in specs]
+
+    hot = set(hot_keys)
+    hot_ref = ray.put(hot)
+    cum_srcs = sorted({s[2] for s in specs if s[1] == "cumsum"})
+    lag_srcs = sorted({s[2] for s in specs if s[1] in ("lag", "diff")})
+
+    # ---- step 2: tiny per-(hot key, salt) summaries, map-side ----------
+    def hot_partial(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        df = df[df[key].isin(ray.get(hot_ref))]
+        if not len(df):
+            return pa.table(
+                {key: pa.array([], t.schema.field(key).type),
+                 _SALT: pa.array([], pa.int64()),
+                 "__n": pa.array([], pa.int64()),
+                 "__last_ord": pa.array([], pa.int64()),
+                 **{f"__sum_{c}": pa.array([], pa.int64()) for c in cum_srcs},
+                 **{f"__last_{c}": pa.array([], pa.int64()) for c in lag_srcs}}
+            )
+        df = df.copy()
+        df[_SALT] = (df[order_col] // salt_width).astype("int64")
+        g = df.groupby([key, _SALT], sort=False)
+        out = g.size().rename("__n").to_frame()
+        out["__last_ord"] = g[order_col].max()
+        for c in cum_srcs:
+            out[f"__sum_{c}"] = g[c].sum()
+        last_idx = g[order_col].idxmax()
+        for c in lag_srcs:
+            out[f"__last_{c}"] = df.loc[last_idx, c].to_numpy()
+        return table_from_pandas(out.reset_index())
+
+    summaries = ds.map_batches(
+        hot_partial, batch_format="pyarrow"
+    ).to_pandas()
+
+    # driver combine (|hot| x |salts| rows) -> per-slice offsets
+    offsets: dict = {}
+    if len(summaries):
+        comb = summaries.groupby([key, _SALT], sort=True).agg(
+            __n=("__n", "sum"),
+            __last_ord=("__last_ord", "max"),
+            **{f"__sum_{c}": (f"__sum_{c}", "sum") for c in cum_srcs},
+        )
+        # the order-maximal row per slice across partials
+        tail = summaries.sort_values("__last_ord", kind="mergesort").groupby(
+            [key, _SALT], sort=True
+        ).tail(1).set_index([key, _SALT])
+        for c in lag_srcs:
+            comb[f"__last_{c}"] = tail[f"__last_{c}"]
+        for k, grp in comb.groupby(level=0, sort=False):
+            rn_off = 0
+            cum_off = {c: 0 for c in cum_srcs}
+            prev_last = {c: None for c in lag_srcs}
+            for (_, salt), row in grp.iterrows():
+                offsets[(k, int(salt))] = (
+                    rn_off,
+                    dict(cum_off),
+                    dict(prev_last),
+                )
+                rn_off += int(row["__n"])
+                for c in cum_srcs:
+                    cum_off[c] += int(row[f"__sum_{c}"])
+                for c in lag_srcs:
+                    prev_last[c] = row[f"__last_{c}"]
+    off_ref = ray.put(offsets)
+
+    # ---- step 3: one shuffle on (key, salt) -----------------------------
+    def tag(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        salt = np.full(len(df), -1, np.int64)
+        ishot = df[key].isin(ray.get(hot_ref)).to_numpy()
+        if ishot.any():
+            salt[ishot] = (
+                df.loc[ishot, order_col].to_numpy() // salt_width
+            ).astype(np.int64)
+        df[_SALT] = salt
+        out = table_from_pandas(df)
+        # composite bucket: mix the salt into the key's hash bucket so a
+        # mega key's slices land in DIFFERENT tasks (the whole point)
+        out = bucket_column(out, key, 1 << 30, _BUCKET)
+        mixed = (
+            (out[_BUCKET].to_numpy(zero_copy_only=False)
+             + salt * np.int64(0x9E3779B9)) % n_buckets
+        )
+        return out.drop_columns([_BUCKET]).append_column(
+            _BUCKET, pa.array(np.abs(mixed).astype(np.int64))
+        )
+
+    bucketed = ds.map_batches(tag, batch_format="pyarrow")
+
+    def window_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns([_BUCKET]).to_pandas()
+        df = df.sort_values([key, _SALT] + order_by, kind="mergesort")
+        df = _apply_window_specs(df, [key, _SALT], specs)
+        offs = ray.get(off_ref)
+        if offs and len(df):
+            salts = df[_SALT].to_numpy()
+            hot_rows = salts >= 0
+            if hot_rows.any():
+                # first row of each (key, salt) slice for boundary fixes
+                keys_np = df[key].to_numpy()
+                first = np.zeros(len(df), bool)
+                first[0] = True
+                first[1:] |= (keys_np[1:] != keys_np[:-1]) | (
+                    salts[1:] != salts[:-1]
+                )
+                for i in np.flatnonzero(hot_rows & first):
+                    entry = offs.get((keys_np[i], int(salts[i])))
+                    if entry is None:
+                        continue
+                    rn_off, cum_off, prev_last = entry
+                    # slice extent: rows i..j of this (key, salt)
+                    j = i + 1
+                    while j < len(df) and not first[j]:
+                        j += 1
+                    for out, kind, src, fill in specs:
+                        col = df.columns.get_loc(out)
+                        if kind == "row_number" and rn_off:
+                            df.iloc[i:j, col] += rn_off
+                        elif kind == "cumsum" and cum_off.get(src):
+                            df.iloc[i:j, col] += cum_off[src]
+                        elif kind in ("lag", "diff"):
+                            pl = prev_last.get(src)
+                            if pl is None:
+                                continue  # first salt: keep fill/NA
+                            if kind == "lag":
+                                df.iloc[i, col] = pl
+                            else:
+                                df.iloc[i, col] = (
+                                    df[src].iloc[i] - pl
+                                )
+        return table_from_pandas(df[out_cols])
+
+    return bucketed.groupby(_BUCKET).map_groups(
+        window_bucket, batch_format="pyarrow"
+    )
