@@ -85,6 +85,37 @@ def kmeans_fit(ds, k: int, *, vec_col: str = "embedding", iters: int = 10,
     cents = _kmeanspp_init(X0, k, stable_seed(seed_tag, k, len(X0)))
     k_eff, dim = cents.shape
 
+    _FAN = 64
+
+    @ray.remote
+    def fold(chunk_idx: int, *tbls):
+        """Deterministic partial-sum fold: concatenate, sort by
+        (cid, bid), reduce per cid in that fixed order, re-tag with the
+        chunk index so the next tree level keeps a total order. Output is
+        k rows regardless of input size — the fan-in bounds task memory."""
+        df = pd.concat([t.to_pandas() for t in tbls]).sort_values(
+            ["cid", "bid"], kind="mergesort")
+        rows = []
+        for cid, g in df.groupby("cid", sort=True):
+            rows.append({
+                "cid": int(cid),
+                "bid": int(chunk_idx),
+                "count": int(g["count"].sum()),
+                "inertia": float(np.add.reduce(g["inertia"].to_numpy())),
+                "vsum": np.add.reduce(np.stack(g["vsum"].to_numpy())),
+            })
+        out = pd.DataFrame(rows)
+        import pyarrow as pa
+
+        return pa.table({
+            "cid": pa.array(out["cid"].to_numpy(), pa.int64()),
+            "bid": pa.array(out["bid"].to_numpy(), pa.int64()),
+            "count": pa.array(out["count"].to_numpy(), pa.int64()),
+            "inertia": pa.array(out["inertia"].to_numpy(), pa.float64()),
+            "vsum": pa.array([list(v) for v in out["vsum"]],
+                             pa.list_(pa.float64())),
+        })
+
     history: list[float] = []
     for _ in range(iters):
         cref = ray.put(cents)
@@ -110,15 +141,25 @@ def kmeans_fit(ds, k: int, *, vec_col: str = "embedding", iters: int = 10,
                 "vsum": list(sums),
             })
 
-        parts = ds.map_batches(partial, batch_format="pandas").to_pandas()
-        parts = parts.sort_values(["cid", "bid"], kind="mergesort")
+        # distributed deterministic tree fold: per-block partials reduce
+        # through fixed-fan-in tasks (each sorts by (cid, bid) before
+        # summing), so the driver receives exactly k rows per round —
+        # never the k x n_blocks partial table — and the float fold
+        # order is a pure function of the block layout
+        level = ds.map_batches(partial, batch_format="pandas").to_arrow_refs()
+        while len(level) > 1:
+            level = [
+                fold.remote(i, *level[i * _FAN:(i + 1) * _FAN])
+                for i in range(-(-len(level) // _FAN))
+            ]
+        parts = ray.get(fold.remote(0, *level)).to_pandas()
+        parts = parts.sort_values("cid", kind="mergesort")
         new_cents = cents.copy()
-        inertia = float(parts["inertia"].sum())
-        for cid, grp in parts.groupby("cid", sort=True):
-            cnt = int(grp["count"].sum())
+        inertia = float(np.add.reduce(parts["inertia"].to_numpy()))
+        for cid, cnt, vsum in zip(parts["cid"], parts["count"],
+                                  parts["vsum"]):
             if cnt > 0:
-                new_cents[cid] = np.add.reduce(
-                    np.stack(grp["vsum"].to_numpy())) / cnt
+                new_cents[cid] = np.asarray(vsum) / int(cnt)
         history.append(inertia)
         done = (
             len(history) >= 2
