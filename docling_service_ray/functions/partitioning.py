@@ -22,19 +22,32 @@ import pyarrow.compute as pc
 
 
 def exact_quantile_boundaries(ds, col: str, n_parts: int,
-                              *, n_buckets: int = 16) -> list:
+                              *, n_buckets: int = 16,
+                              max_distinct: int = 2_000_000) -> list:
     """(n_parts-1) exact type-1 quantile cut points of ds[col]:
-    boundary p = smallest v with cumulative count >= ceil(p * N)."""
+    boundary p = smallest v with cumulative count >= ceil(p * N).
+
+    Contract: the driver collects the (value, count) histogram, so the
+    column's DISTINCT-VALUE domain must be bounded — ``max_distinct``
+    makes that enforceable instead of aspirational (fails loudly and
+    names :func:`sampled_quantile_boundaries`, the unbounded-domain
+    path). Row cardinality is irrelevant; only the domain reaches the
+    driver."""
     from .agg import bucketed_group_agg
 
-    hist = (
-        bucketed_group_agg(
-            ds.select_columns([col]), [col], {"c": (col, "size")},
-            n_buckets=n_buckets,
+    hist_ds = bucketed_group_agg(
+        ds.select_columns([col]), [col], {"c": (col, "size")},
+        n_buckets=n_buckets,
+    ).materialize()
+    n_distinct = hist_ds.count()
+    if n_distinct > max_distinct:
+        raise ValueError(
+            f"exact_quantile_boundaries: {col!r} has {n_distinct} distinct "
+            f"values > max_distinct={max_distinct}; the exact histogram "
+            "path is for bounded domains — use sampled_quantile_boundaries "
+            "for unbounded keys"
         )
-        .to_pandas()
-        .sort_values(col)
-    )
+    hist = hist_ds.to_pandas().sort_values(col)
     n = int(hist["c"].sum())
     cum = hist["c"].cumsum()
     out = []
@@ -42,6 +55,48 @@ def exact_quantile_boundaries(ds, col: str, n_parts: int,
         k = math.ceil(i / n_parts * n)
         out.append(hist.loc[cum >= k, col].iloc[0])
     return out
+
+
+def sampled_quantile_boundaries(ds, col: str, n_parts: int,
+                                *, sample_k: int = 65536) -> list:
+    """Approximate quantile boundaries for UNBOUNDED domains: a uniform
+    row sample of ~``sample_k`` values (per-block sampling at rate
+    ``sample_k / N``, seeded from block content — deterministic for a
+    fixed block layout), boundaries = type-1 quantiles of the sample.
+
+    Rank error is O(N / sqrt(sample_k)) with high probability — the
+    standard boundary-sampling scheme Ray's own sort uses. Driver memory
+    is bounded by the sample, never the domain."""
+    from .hashing import stable_seed
+
+    n = ds.count()
+    if n == 0:
+        return []
+    rate = min(1.0, 1.25 * sample_k / n)  # slack so the union stays >= k
+
+    def sample_batch(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False)
+        take = max(1, int(len(x) * rate)) if len(x) else 0
+        if take >= len(x):
+            return t.select([col])
+        rng = np.random.default_rng(
+            stable_seed("qboundaries", len(x), int(hash(str(x[0]))) & 0xFFFF)
+        )
+        idx = rng.choice(len(x), take, replace=False)
+        return pa.table({col: pa.array(np.sort(x[idx]))})
+
+    sample = (
+        ds.select_columns([col])
+        .map_batches(sample_batch, batch_format="pyarrow")
+        .to_pandas()[col]
+        .to_numpy()
+    )
+    sample = np.sort(sample)
+    return [
+        sample[min(len(sample) - 1,
+                   math.ceil(i / n_parts * len(sample)) - 1)]
+        for i in range(1, n_parts)
+    ]
 
 
 def assign_range_partition(ds, col: str, boundaries: list,

@@ -1112,6 +1112,16 @@ def event_type_pivot(sf_dir: str):
         # to the fixed _EVENT_TYPES order — no per-row string compares
         enc = pc.dictionary_encode(batch["event_type"]).combine_chunks()
         remap = np.searchsorted(type_arr, np.asarray(enc.dictionary))
+        # validate the remap: an event_type outside _EVENT_TYPES would
+        # otherwise silently land in (or crash on) another type's column
+        remap_clipped = np.minimum(remap, n_types - 1)
+        valid = type_arr[remap_clipped] == np.asarray(enc.dictionary)
+        if not valid.all():
+            unknown = np.asarray(enc.dictionary)[~valid].tolist()
+            raise ValueError(
+                f"event_type_pivot: unknown event types {unknown!r}; "
+                f"expected one of {_EVENT_TYPES}"
+            )
         code = remap[np.asarray(enc.indices)]
         counts = np.bincount(
             uidx * n_types + code, minlength=len(uniq) * n_types

@@ -3,8 +3,10 @@
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray
 
 from docling_service_ray.functions.partitioning import (
@@ -60,3 +62,38 @@ def test_range_partitioned_write_ordered_layout(ray_session, tmp_path):
         assert ks.min() > prev_max
         prev_max = ks.max()
     assert bounds == sorted(bounds)
+
+
+def test_exact_boundaries_guard_raises(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.partitioning import (
+        exact_quantile_boundaries,
+    )
+
+    ds = rd.range(500).map_batches(
+        lambda df: df.rename(columns={"id": "v"}), batch_format="pandas"
+    )
+    with pytest.raises(ValueError, match="sampled_quantile_boundaries"):
+        exact_quantile_boundaries(ds, "v", 4, max_distinct=100)
+
+
+def test_sampled_boundaries_balance(ray_session):
+    import numpy as np
+    import ray.data as rd
+
+    from docling_service_ray.functions.partitioning import (
+        assign_range_partition,
+        sampled_quantile_boundaries,
+    )
+
+    # 50k-row skewed continuous domain (every value distinct)
+    rng = np.random.default_rng(5)
+    vals = np.concatenate([rng.normal(0, 1, 40000), rng.normal(50, 5, 10000)])
+    ds = rd.from_pandas(pd.DataFrame({"v": vals})).repartition(16)
+    bounds = sampled_quantile_boundaries(ds, "v", 4, sample_k=8192)
+    assert len(bounds) == 3 and bounds == sorted(bounds)
+    parts = assign_range_partition(ds, "v", bounds).to_pandas()
+    shares = parts["part"].value_counts(normalize=True)
+    # each quantile shard holds ~25%; sampling error well under 5 points
+    assert shares.min() > 0.20 and shares.max() < 0.30
