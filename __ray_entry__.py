@@ -100,8 +100,12 @@ def _registry() -> tuple[dict, dict]:
                "range_partition_docs", # quantile boundaries -> chars_percentiles
                "langs_per_source",     # two-level agg -> frequent_tokens
                "token_histogram",      # bincount partials -> chars_histogram
-               "multimodal_meta")      # fake-codec roundtrip -> png_meta
+               "multimodal_meta",      # fake-codec roundtrip -> png_meta
                                        # (REAL stdlib-zlib PNG decode)
+               # round-4 NEW operators, registered demoted (their
+               # mechanism siblings hold the strict driver rows):
+               "rolling_rank_revenue", # rolling/rank kinds -> running_revenue
+               "revenue_cube")         # grouping sets -> revenue_rollup
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

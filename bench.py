@@ -58,6 +58,7 @@ BENCH_QUERIES = [
     "ann_topk",
     "dedup_embedding",
     "connected_components",
+    "png_meta",
     "passage_dedup",
     "contamination",
     "kmeans_clusters",

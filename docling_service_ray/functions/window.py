@@ -35,7 +35,8 @@ from .hashing import bucket_column
 _BUCKET = "__wbucket"
 
 # spec kinds -> (needs src column?, description)
-KINDS = ("row_number", "cumsum", "lag", "diff")
+KINDS = ("row_number", "cumsum", "lag", "diff", "rolling_sum", "rank",
+         "dense_rank")
 
 
 def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
@@ -92,6 +93,44 @@ def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
                     outv = outv.astype(float)
                     outv[first] = np.nan
                     df[out] = outv
+        elif kind == "rolling_sum":
+            # exact int rolling sum over the trailing ``fill`` rows (the
+            # 4th spec slot is the window size here): cumsum minus the
+            # cumsum ``n`` rows back within the partition — stays in the
+            # integer domain, no pandas rolling() float path
+            n_win = int(fill)
+            if n_win < 1:
+                raise ValueError("rolling_sum window must be >= 1")
+            cs = g[src].cumsum().to_numpy()
+            vals = df[src].to_numpy()
+            cc = g.cumcount().to_numpy()
+            idx = np.arange(len(df)) - n_win
+            in_part = cc >= n_win
+            base = np.where(in_part, cs[np.maximum(idx, 0)], 0)
+            df[out] = (cs - base).astype("int64") if np.issubdtype(
+                vals.dtype, np.integer) else cs - base
+        elif kind in ("rank", "dense_rank"):
+            # SQL RANK/DENSE_RANK over the partition, ties on ``src``
+            # (the ranking column; the frame is already sorted by it)
+            vals = df[src].to_numpy()
+            n_rows = len(df)
+            if n_rows:
+                new_run = first.copy()
+                new_run[1:] |= vals[1:] != vals[:-1]
+                run_idx = np.maximum.accumulate(
+                    np.where(new_run, np.arange(n_rows), 0))
+                cc = g.cumcount().to_numpy()
+                if kind == "rank":
+                    df[out] = (cc[run_idx] + 1).astype("int64")
+                else:
+                    runs_cum = np.cumsum(new_run.astype(np.int64))
+                    grp_idx = np.maximum.accumulate(
+                        np.where(first, np.arange(n_rows), 0))
+                    df[out] = (
+                        runs_cum - runs_cum[grp_idx] + 1
+                    ).astype("int64")
+            else:
+                df[out] = pd.Series([], dtype="int64")
         # specs are independent by contract: a later spec never reads an
         # earlier spec's output column
     return df
@@ -115,7 +154,14 @@ def partitioned_window(
     - ``("prev", "lag", col, fill)`` — previous row's ``col`` (first row
       of each key gets ``fill``).
     - ``("gap", "diff", col, fill)`` — ``col - lag(col)`` (first row of
-      each key gets ``fill``). Exact for integer columns.
+      each key gets ``fill``). Exact for the full int64 range (numpy
+      shift + first-of-group mask; never pandas' float64 NaN sentinel).
+    - ``("roll", "rolling_sum", col, n)`` — trailing-window sum over the
+      last ``n`` rows (``ROWS BETWEEN n-1 PRECEDING AND CURRENT ROW``),
+      exact ints via per-partition cumsum differences.
+    - ``("rnk", "rank", col, None)`` / ``("drnk", "dense_rank", col,
+      None)`` — SQL RANK / DENSE_RANK with ties on ``col`` (which must
+      be the ordering column so tie runs are contiguous).
 
     Returns a Dataset with ``keep_columns`` (default: key + order_by +
     every src col) plus the window columns. Ordering is restored
@@ -194,6 +240,11 @@ def salted_partitioned_window(
     for spec in specs:
         if spec[1] not in KINDS:
             raise ValueError(f"unknown window kind {spec[1]!r}")
+        if spec[1] not in ("row_number", "cumsum", "lag", "diff"):
+            raise NotImplementedError(
+                f"salted_partitioned_window: no cross-salt offset merge is "
+                f"defined for {spec[1]!r}; use partitioned_window"
+            )
     if keep_columns is None:
         keep = [key, order_col]
         for _, kind, src, _ in specs:

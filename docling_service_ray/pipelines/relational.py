@@ -976,6 +976,57 @@ def running_revenue(sf_dir: str):
 
 
 @register(
+    "rolling_rank_revenue",
+    # three window kinds the cumulative family doesn't cover: a trailing
+    # 3-row ROWS frame sum (exact cents) plus RANK / DENSE_RANK with real
+    # ties (order dates repeat within a customer)
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(SUM(cents) OVER w3 AS BIGINT) AS roll3_cents, "
+    "CAST(RANK() OVER wd AS BIGINT) AS date_rank, "
+    "CAST(DENSE_RANK() OVER wd AS BIGINT) AS date_dense_rank "
+    "FROM (SELECT o_custkey, o_orderkey, o_orderdate, "
+    "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) "
+    "WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), "
+    "wd AS (PARTITION BY o_custkey ORDER BY o_orderdate)",
+)
+def rolling_rank_revenue(sf_dir: str):
+    """Trailing-window sum + RANK/DENSE_RANK per customer — the window
+    kinds beyond the cumulative family, same one-shuffle plan."""
+    from ..functions.window import partitioned_window
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": batch["o_custkey"],
+                "o_orderkey": batch["o_orderkey"],
+                "o_orderdate": batch["o_orderdate"],
+                "cents": to_cents(batch["o_totalprice"]),
+            }
+        )
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    out = partitioned_window(
+        prepped,
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[("roll3_cents", "rolling_sum", "cents", 3),
+               ("date_rank", "rank", "o_orderdate", None),
+               ("date_dense_rank", "dense_rank", "o_orderdate", None)],
+        keep_columns=["o_custkey", "o_orderkey"],
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "roll3_cents", "date_rank",
+         "date_dense_rank"]
+    )
+
+
+@register(
     "event_gaps",
     # LAG-based inter-event delta per user; first event of a user -> -1.
     # epoch_us on both sides keeps the arithmetic in exact int64 microseconds.
@@ -1216,6 +1267,89 @@ def revenue_rollup(sf_dir: str):
             ignore_index=True,
         )
         return table_from_pandas(out)
+
+    ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)
+    return partials.groupby(["region", "nation"]).aggregate(
+        Sum("n_orders", alias_name="n_orders"),
+        Sum("total_cents", alias_name="total_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE (all grouping sets): ROLLUP's hierarchy plus the (ALL, nation)
+# cross-slice — every level emitted Sum-able in the partials, one groupby.
+# ---------------------------------------------------------------------------
+@register(
+    "revenue_cube",
+    "SELECT COALESCE(r_name, 'ALL') AS region, "
+    "COALESCE(n_name, 'ALL') AS nation, COUNT(*) AS n_orders, "
+    "CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS total_cents "
+    "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+    "JOIN nation n ON c.c_nationkey = n.n_nationkey "
+    "JOIN region r ON n.n_regionkey = r.r_regionkey "
+    "GROUP BY CUBE(r_name, n_name)",
+)
+def revenue_cube(sf_dir: str):
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.joins import dense_lookup_array_ref
+
+    nat = read_table(
+        sf_dir, "nation", columns=["n_nationkey", "n_name", "n_regionkey"]
+    ).to_pandas().sort_values("n_nationkey")
+    reg = read_table(
+        sf_dir, "region", columns=["r_regionkey", "r_name"]
+    ).to_pandas().sort_values("r_regionkey")
+    nation_names = nat["n_name"].to_numpy()
+    region_of_nation = nat["n_regionkey"].to_numpy()
+    region_names = reg["r_name"].to_numpy()
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    lookup_ref = dense_lookup_array_ref(cust, "c_custkey", "c_nationkey")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lookup = ray.get(lookup_ref)
+        nk = lookup[batch["o_custkey"].to_numpy(zero_copy_only=False)].astype(
+            np.int64
+        )
+        cents = to_cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        n = len(nation_names)
+        counts = np.bincount(nk, minlength=n)
+        sums = np.bincount(nk, weights=cents.astype(np.float64), minlength=n)
+        nz = np.nonzero(counts)[0]
+        lvl2 = pd.DataFrame(
+            {
+                "region": region_names[region_of_nation[nz]],
+                "nation": nation_names[nz],
+                "n_orders": counts[nz].astype(np.int64),
+                "total_cents": sums[nz].astype(np.int64),
+            }
+        )
+        lvl_r = (
+            lvl2.groupby("region", sort=False)[["n_orders", "total_cents"]]
+            .sum().reset_index()
+        )
+        lvl_r["nation"] = "ALL"
+        lvl_n = (  # the slice ROLLUP lacks: per-nation across all regions
+            lvl2.groupby("nation", sort=False)[["n_orders", "total_cents"]]
+            .sum().reset_index()
+        )
+        lvl_n["region"] = "ALL"
+        lvl0 = pd.DataFrame(
+            {
+                "region": ["ALL"], "nation": ["ALL"],
+                "n_orders": [lvl2["n_orders"].sum()],
+                "total_cents": [lvl2["total_cents"].sum()],
+            }
+        )
+        cols = ["region", "nation", "n_orders", "total_cents"]
+        return table_from_pandas(
+            pd.concat([lvl2[cols], lvl_r[cols], lvl_n[cols], lvl0[cols]],
+                      ignore_index=True)
+        )
 
     ds = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=32768)

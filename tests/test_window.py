@@ -142,3 +142,36 @@ def test_salted_slices_actually_split(ray_session):
         hot_keys=["mega"], salt_width=100)
     df = out.to_pandas().sort_values("o").reset_index(drop=True)
     assert df["rn"].tolist() == list(range(1, 2001))
+
+
+def test_rolling_sum_rank_dense_rank(ray_session):
+    rows = [
+        {"k": "a", "o": 1, "x": 5, "d": 10},
+        {"k": "a", "o": 2, "x": 3, "d": 10},
+        {"k": "a", "o": 3, "x": 2, "d": 20},
+        {"k": "a", "o": 4, "x": 7, "d": 20},
+        {"k": "a", "o": 5, "x": 1, "d": 30},
+        {"k": "b", "o": 1, "x": 9, "d": 10},
+        {"k": "b", "o": 2, "x": 4, "d": 15},
+    ]
+    df = (
+        partitioned_window(
+            _ds(rows), "k", ["o"],
+            [("roll2", "rolling_sum", "x", 2),
+             ("rnk", "rank", "d", None),
+             ("drnk", "dense_rank", "d", None)],
+            keep_columns=["k", "o", "x", "d"])
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    assert df["roll2"].tolist() == [5, 8, 5, 9, 8, 9, 13]
+    assert df["rnk"].tolist() == [1, 1, 3, 3, 5, 1, 2]
+    assert df["drnk"].tolist() == [1, 1, 2, 2, 3, 1, 2]
+
+
+def test_salted_rejects_unsupported_kinds(ray_session):
+    from docling_service_ray.functions.window import salted_partitioned_window
+
+    with pytest.raises(NotImplementedError, match="cross-salt"):
+        salted_partitioned_window(
+            _ds(ROWS), "k", "o", [("r", "rank", "x", None)],
+            hot_keys=["a"], salt_width=2)
