@@ -36,7 +36,7 @@ _BUCKET = "__wbucket"
 
 # spec kinds -> (needs src column?, description)
 KINDS = ("row_number", "cumsum", "lag", "diff", "rolling_sum", "rank",
-         "dense_rank")
+         "dense_rank", "ntile")
 
 
 def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
@@ -129,6 +129,29 @@ def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
                     df[out] = (
                         runs_cum - runs_cum[grp_idx] + 1
                     ).astype("int64")
+            else:
+                df[out] = pd.Series([], dtype="int64")
+        elif kind == "ntile":
+            # SQL NTILE(n): first (size % n) tiles get ceil(size/n) rows.
+            # Deterministic only when the order columns are unique per
+            # partition (same caveat as SQL NTILE itself).
+            n_tiles = int(fill)
+            if n_tiles < 1:
+                raise ValueError("ntile requires a positive tile count")
+            n_rows = len(df)
+            if n_rows:
+                cc = g.cumcount().to_numpy()
+                group_id = np.cumsum(first) - 1
+                sizes = np.bincount(group_id)[group_id]
+                q, r = np.divmod(sizes, n_tiles)
+                boundary = (q + 1) * r
+                big = cc < boundary
+                tile = np.where(
+                    big,
+                    cc // np.maximum(q + 1, 1),
+                    r + (cc - boundary) // np.maximum(q, 1),
+                )
+                df[out] = (tile + 1).astype("int64")
             else:
                 df[out] = pd.Series([], dtype="int64")
         # specs are independent by contract: a later spec never reads an

@@ -983,7 +983,8 @@ def running_revenue(sf_dir: str):
     "SELECT o_custkey, o_orderkey, "
     "CAST(SUM(cents) OVER w3 AS BIGINT) AS roll3_cents, "
     "CAST(RANK() OVER wd AS BIGINT) AS date_rank, "
-    "CAST(DENSE_RANK() OVER wd AS BIGINT) AS date_dense_rank "
+    "CAST(DENSE_RANK() OVER wd AS BIGINT) AS date_dense_rank, "
+    "CAST(NTILE(4) OVER w3 AS BIGINT) AS quartile "
     "FROM (SELECT o_custkey, o_orderkey, o_orderdate, "
     "CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders) "
     "WINDOW w3 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
@@ -1017,12 +1018,13 @@ def rolling_rank_revenue(sf_dir: str):
         order_by=["o_orderdate", "o_orderkey"],
         specs=[("roll3_cents", "rolling_sum", "cents", 3),
                ("date_rank", "rank", "o_orderdate", None),
-               ("date_dense_rank", "dense_rank", "o_orderdate", None)],
+               ("date_dense_rank", "dense_rank", "o_orderdate", None),
+               ("quartile", "ntile", None, 4)],
         keep_columns=["o_custkey", "o_orderkey"],
     )
     return out.select_columns(
         ["o_custkey", "o_orderkey", "roll3_cents", "date_rank",
-         "date_dense_rank"]
+         "date_dense_rank", "quartile"]
     )
 
 

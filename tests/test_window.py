@@ -54,7 +54,7 @@ def test_many_buckets_no_key_split(ray_session):
 
 def test_unknown_kind_raises(ray_session):
     with pytest.raises(ValueError, match="unknown window kind"):
-        partitioned_window(_ds(ROWS), "k", ["o"], [("y", "ntile", "x", None)])
+        partitioned_window(_ds(ROWS), "k", ["o"], [("y", "percent_rank", "x", None)])
 
 
 def test_parallelism_invariance(ray_session):
@@ -175,3 +175,19 @@ def test_salted_rejects_unsupported_kinds(ray_session):
         salted_partitioned_window(
             _ds(ROWS), "k", "o", [("r", "rank", "x", None)],
             hot_keys=["a"], salt_width=2)
+
+
+def test_ntile(ray_session):
+    rows = ([{"k": "a", "o": i, "x": i} for i in range(5)]
+            + [{"k": "b", "o": i, "x": i} for i in range(2)])
+    df = (
+        partitioned_window(_ds(rows), "k", ["o"],
+                           [("t2", "ntile", None, 2),
+                            ("t4", "ntile", None, 4)])
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    # 5 rows / 2 tiles: first tile gets 3; 5 / 4: sizes 2,1,1,1
+    assert df[df["k"] == "a"]["t2"].tolist() == [1, 1, 1, 2, 2]
+    assert df[df["k"] == "a"]["t4"].tolist() == [1, 1, 2, 3, 4]
+    # 2 rows / 4 tiles: one row per tile
+    assert df[df["k"] == "b"]["t4"].tolist() == [1, 2]
