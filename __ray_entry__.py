@@ -105,7 +105,8 @@ def _registry() -> tuple[dict, dict]:
                # round-4 NEW operators, registered demoted (their
                # mechanism siblings hold the strict driver rows):
                "rolling_rank_revenue", # rolling/rank kinds -> running_revenue
-               "revenue_cube")         # grouping sets -> revenue_rollup
+               "revenue_cube",         # grouping sets -> revenue_rollup
+               "full_outer_activity")  # full-outer join -> customer_order_stats
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

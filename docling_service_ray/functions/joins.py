@@ -41,6 +41,10 @@ def bucketed_hash_join(left, right, key: str, *, n_buckets: int = 64,
     """
     from .arrow_util import arrow_schema_of
 
+    # SQL names -> pandas merge names; "full" = FULL OUTER
+    how = {"full": "outer"}.get(how, how)
+    if how not in ("inner", "left", "right", "outer"):
+        raise ValueError(f"unsupported join type {how!r}")
     lschema = lschema or arrow_schema_of(left)
     rschema = rschema or arrow_schema_of(right)
     lnames = list(lschema.names)

@@ -1128,6 +1128,54 @@ def customer_order_stats(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# FULL OUTER join: event activity x customer identity — unmatched rows
+# survive from BOTH sides (users with no customer record keep null
+# acct_cents; customers with no events keep null n_events).
+# ---------------------------------------------------------------------------
+@register(
+    "full_outer_activity",
+    "WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events "
+    "FROM events GROUP BY user_id), "
+    "c AS (SELECT c_custkey AS user_id, "
+    "CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS acct_cents "
+    "FROM customer) "
+    "SELECT COALESCE(u.user_id, c.user_id) AS user_id, u.n_events, "
+    "c.acct_cents FROM u FULL OUTER JOIN c ON u.user_id = c.user_id",
+)
+def full_outer_activity(sf_dir: str):
+    """FULL OUTER bucketed join (``how='full'``): the both-sided
+    null-padded path of the big-big join."""
+    import pyarrow as pa
+
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.joins import bucketed_hash_join
+
+    events = read_table(sf_dir, "events", columns=["user_id"])
+    per_user = bucketed_group_agg(
+        events, ["user_id"], {"n_events": ("user_id", "size")},
+    )
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+
+    def prep_cust(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["c_custkey"],
+                "acct_cents": to_cents(batch["c_acctbal"]),
+            }
+        )
+
+    cust_p = cust.map_batches(prep_cust, batch_format="pyarrow")
+    return bucketed_hash_join(
+        per_user, cust_p, "user_id", how="full",
+        lschema=pa.schema([("user_id", pa.int64()),
+                           ("n_events", pa.int64())]),
+        rschema=pa.schema([("user_id", pa.int64()),
+                           ("acct_cents", pa.int64())]),
+    )
+
+
+# ---------------------------------------------------------------------------
 # PIVOT (conditional aggregation): per-user event-type count matrix.
 # ---------------------------------------------------------------------------
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")

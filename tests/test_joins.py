@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import pytest
 
 
@@ -177,3 +178,53 @@ def test_salted_join_block_layout_invariant(ray_session):
     a, _ = _salted_case(ray_session, 1)
     b, _ = _salted_case(ray_session, 17)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_full_outer_join_both_sided_nulls(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import bucketed_hash_join
+
+    left = rd.from_arrow(pa.table({"k": [1, 2, 3], "lv": [10, 20, 30]}))
+    right = rd.from_arrow(pa.table({"k": [2, 3, 4], "rv": [200, 300, 400]}))
+    out = (
+        bucketed_hash_join(left, right, "k", how="full")
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    )
+    assert out["k"].tolist() == [1, 2, 3, 4]
+    assert out["lv"].fillna(-1).tolist() == [10, 20, 30, -1]
+    assert out["rv"].fillna(-1).tolist() == [-1, 200, 300, 400]
+
+
+def test_join_rejects_unknown_how(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import bucketed_hash_join
+
+    ds = rd.from_arrow(pa.table({"k": [1]}))
+    with pytest.raises(ValueError, match="unsupported join type"):
+        bucketed_hash_join(ds, ds, "k", how="cross")
+
+
+def test_dense_lookup_guard_raises(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import dense_lookup_array_ref
+
+    ds = rd.from_arrow(pa.table({"k": [1, 10_000_000], "v": [1, 2]}))
+    with pytest.raises(ValueError, match="bucketed_hash_join"):
+        dense_lookup_array_ref(ds, "k", "v", max_bytes=1024)
+
+
+def test_dense_lookup_builds_distributed(ray_session):
+    import ray
+    import ray.data as rd
+
+    from docling_service_ray.functions.joins import dense_lookup_array_ref
+
+    ds = rd.from_arrow(
+        pa.table({"k": [1, 5, 3], "v": [11, 55, 33]})
+    ).repartition(3)
+    arr = ray.get(dense_lookup_array_ref(ds, "k", "v"))
+    assert arr[1] == 11 and arr[3] == 33 and arr[5] == 55
+    assert arr[0] == -1 and arr[2] == -1 and arr[4] == -1
