@@ -106,7 +106,8 @@ def _registry() -> tuple[dict, dict]:
                # mechanism siblings hold the strict driver rows):
                "rolling_rank_revenue", # rolling/rank kinds -> running_revenue
                "revenue_cube",         # grouping sets -> revenue_rollup
-               "full_outer_activity")  # full-outer join -> customer_order_stats
+               "full_outer_activity",  # full-outer join -> customer_order_stats
+               "term_postings")        # ordered list agg -> tfidf_topk
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

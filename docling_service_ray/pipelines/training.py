@@ -1327,6 +1327,61 @@ def tfidf_topk(sf_dir: str):
 
 
 @register(
+    "term_postings",
+    # inverted index over frequent terms: one row per token appearing in
+    # >= 50 distinct docs, with the ORDERED posting list (comma-joined
+    # doc ids) — the ordered-list-aggregation output shape none of the
+    # scalar aggregates exercise
+    "WITH toks AS (SELECT DISTINCT doc_id, tok FROM ("
+    f"  SELECT doc_id, unnest(string_split_regex({_TRIM}, '\\s+')) AS tok"
+    f"  FROM documents WHERE {_TRIM} <> '')) "
+    "SELECT tok, CAST(COUNT(*) AS BIGINT) AS df, "
+    "string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings "
+    "FROM toks GROUP BY tok HAVING COUNT(*) >= 50",
+)
+def term_postings(sf_dir: str):
+    """Inverted-index build: distinct (token, doc) pairs collapse per
+    batch, ONE bucket shuffle on token, per-token ordered posting list.
+    The search-index analog of the reference's content-addressed key
+    map (app/main.py:717-718), emitted as a queryable table."""
+    from ..functions.hashing import bucket_column
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_d, out_t = [], []
+        for i, t in zip(df["doc_id"], df["text"]):
+            for w in set(str(t).split()):  # within-doc distinct
+                out_d.append(i)
+                out_t.append(w)
+        return pd.DataFrame(
+            {"doc_id": pd.array(out_d, dtype="int64"), "tok": out_t}
+        ).drop_duplicates()
+
+    bucketed = ds.map_batches(pairs, batch_format="pandas").map_batches(
+        lambda t: bucket_column(t, "tok", 32, "__pb"), batch_format="pyarrow",
+    )
+
+    def posting_bucket(grp: pa.Table) -> pa.Table:
+        df = (grp.drop_columns(["__pb"]).to_pandas()
+              .drop_duplicates()  # cross-batch duplicate pairs
+              .sort_values(["tok", "doc_id"], kind="mergesort"))
+        g = df.groupby("tok", sort=True)
+        sizes = g.size()
+        keep = sizes[sizes >= 50]
+        post = g["doc_id"].agg(lambda s: ",".join(map(str, s)))
+        return pa.table({
+            "tok": pa.array(keep.index.to_numpy().tolist(), pa.string()),
+            "df": pa.array(keep.to_numpy().astype(np.int64)),
+            "postings": pa.array(post.loc[keep.index].tolist(), pa.string()),
+        })
+
+    return bucketed.groupby("__pb").map_groups(
+        posting_bucket, batch_format="pyarrow"
+    )
+
+
+@register(
     "repetition_ratio",
     # within-doc duplicated-passage fraction (disjoint 5-word windows,
     # trailing partial dropped), per mille — a doc-local quality signal
