@@ -107,7 +107,9 @@ def _registry() -> tuple[dict, dict]:
                "rolling_rank_revenue", # rolling/rank kinds -> running_revenue
                "revenue_cube",         # grouping sets -> revenue_rollup
                "full_outer_activity",  # full-outer join -> customer_order_stats
-               "term_postings")        # ordered list agg -> tfidf_topk
+               "term_postings",        # ordered list agg -> tfidf_topk
+               "wav_meta")             # real RIFF/PCM decode -> png_meta
+                                       # (same real-codec roundtrip shape)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

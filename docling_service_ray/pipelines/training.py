@@ -735,6 +735,41 @@ def png_meta(sf_dir: str):
     ).select_columns(["doc_id", "width", "height", "channels", "pixel_sum"])
 
 
+@register(
+    "wav_meta",
+    # exact SQL mirror of the REAL-WAV roundtrip (attach_wav_payload_batch
+    # -> WavDecodeMeta, codec = extract/wavcodec.py): channels/frames
+    # derive from text length; the planted gradient sample[i] = i - 32768
+    # has the closed-form sum of squares
+    # S2(v) - 32768*v*(v-1) + v*2^30 with v = frames*channels
+    "WITH m AS (SELECT doc_id, 1 + length(text) % 2 AS ch, "
+    "100 + (length(text) * 13) % 1000 AS nf FROM documents), "
+    "s AS (SELECT doc_id, ch, nf, ch * nf AS v FROM m) "
+    "SELECT doc_id, CAST(16000 AS BIGINT) AS rate, "
+    "CAST(ch AS BIGINT) AS channels, CAST(nf AS BIGINT) AS n_frames, "
+    "CAST(nf * 1000000 // 16000 AS BIGINT) AS duration_us, "
+    "CAST((v - 1) * v * (2 * v - 1) // 6 - 32768 * v * (v - 1) "
+    "+ v * 1073741824 AS BIGINT) AS pcm_sumsq FROM s",
+)
+def wav_meta(sf_dir: str):
+    """Real audio decode: per-doc PCM-16 WAV encode -> actor-pool RIFF
+    parse + sample read -> oracle-checked rate/channels/frames/exact
+    duration + integer sample energy."""
+    from ..stages.multimodal import WavDecodeMeta, attach_wav_payload_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = ds.map_batches(
+        attach_wav_payload_batch, batch_format="pyarrow", batch_size=256
+    )
+    return with_payload.map_batches(
+        WavDecodeMeta, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    ).select_columns(
+        ["doc_id", "rate", "channels", "n_frames", "duration_us",
+         "pcm_sumsq"]
+    )
+
+
 @register("multimodal_features")  # rows-only (binary payload featurization)
 def multimodal_features(sf_dir: str):
     """Full multimodal chain: attach payload -> decode -> size/zone

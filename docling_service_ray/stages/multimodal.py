@@ -160,6 +160,51 @@ class PngDecodeMeta:
         return out.append_column("pixel_sum", pa.array(sums, pa.int64()))
 
 
+def attach_wav_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Derive a REAL WAV payload per row: 16 kHz PCM-16 whose frame count
+    and channel count come from the text length and whose flat sample
+    values follow ``sample[i] = i - 32768`` — so an SQL oracle can mirror
+    rate/channels/frames/duration AND the exact integer sum of squared
+    samples with closed-form arithmetic, no codec."""
+    from ..extract.wavcodec import encode_wav
+
+    payloads = []
+    for t in batch[text_col].to_pylist():
+        n = len(t or "")
+        channels = 1 + n % 2
+        n_frames = 100 + (n * 13) % 1000
+        v = n_frames * channels
+        samples = (np.arange(v, dtype=np.int64) - 32768).astype(np.int16)
+        payloads.append(encode_wav(samples, rate=16000, channels=channels))
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class WavDecodeMeta:
+    """Actor-pool REAL-WAV decode stage: full RIFF parse + PCM read per
+    payload, emitting rate/channels/frames/exact duration and the exact
+    integer sum of squared samples (the loudness-energy statistic an SQL
+    oracle can check independently)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..extract.wavcodec import decode_wav
+
+        rates, chans, frames, durs, sumsqs = [], [], [], [], []
+        for p in batch["payload"].to_pylist():
+            info = decode_wav(p)
+            rates.append(info["rate"])
+            chans.append(info["channels"])
+            frames.append(info["n_frames"])
+            durs.append(info["duration_us"])
+            s = info["samples"].astype(np.int64)
+            sumsqs.append(int((s * s).sum()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("rate", pa.array(rates, pa.int64()))
+        out = out.append_column("channels", pa.array(chans, pa.int64()))
+        out = out.append_column("n_frames", pa.array(frames, pa.int64()))
+        out = out.append_column("duration_us", pa.array(durs, pa.int64()))
+        return out.append_column("pcm_sumsq", pa.array(sumsqs, pa.int64()))
+
+
 class ResizeFilter:
     """Min-size + zone analog for binary images: drop images smaller than
     min_px on either side (the reference's 50px filter, app/main.py:574-575)
