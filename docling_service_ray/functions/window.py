@@ -240,12 +240,15 @@ def salted_partitioned_window(
        (order-aligned, so each salt slice is internally orderable); all
        other rows get salt ``-1`` and behave exactly as in
        ``partitioned_window``;
-    2. per-(hot key, salt) summaries — row count, per-src sums, and the
-       order-maximal row's src values — are pre-aggregated map-side and
-       combined on the driver (tiny: |hot keys| x |salts| rows), turning
-       into broadcast OFFSETS: exclusive prefix count (row_number),
-       exclusive prefix sum (cumsum), and the previous non-empty salt's
-       last src value (lag/diff boundary);
+    2. per-(hot key, salt) summaries — row count, per-src sums, the
+       order-maximal row's src values, and (for rolling specs) each
+       slice's last W-1 rows — are pre-aggregated map-side and combined
+       on the driver (tiny: |hot keys| x |salts| rows plus bounded
+       tails), turning into broadcast OFFSETS: exclusive prefix count
+       (row_number), exclusive prefix sum (cumsum), the previous
+       non-empty salt's last value (lag/diff boundary), and a running
+       W-1 tail across ALL prior salts (rolling_sum boundary — exact
+       even when the window spans several salt widths);
     3. ONE hash shuffle co-locates ``(key, salt)`` slices; each bucket
        computes ordinary windows per slice and applies the broadcast
        offsets to hot slices map-side.
@@ -263,7 +266,8 @@ def salted_partitioned_window(
     for spec in specs:
         if spec[1] not in KINDS:
             raise ValueError(f"unknown window kind {spec[1]!r}")
-        if spec[1] not in ("row_number", "cumsum", "lag", "diff"):
+        if spec[1] not in ("row_number", "cumsum", "lag", "diff",
+                           "rolling_sum"):
             raise NotImplementedError(
                 f"salted_partitioned_window: no cross-salt offset merge is "
                 f"defined for {spec[1]!r}; use partitioned_window"
@@ -280,20 +284,34 @@ def salted_partitioned_window(
     hot_ref = ray.put(hot)
     cum_srcs = sorted({s[2] for s in specs if s[1] == "cumsum"})
     lag_srcs = sorted({s[2] for s in specs if s[1] in ("lag", "diff")})
+    # rolling specs need the previous salts' trailing values: per source,
+    # the last (max window - 1) rows by order
+    tail_len: dict = {}
+    for _, kind, src, w in specs:
+        if kind == "rolling_sum":
+            tail_len[src] = max(tail_len.get(src, 0), int(w) - 1)
+    tail_srcs = sorted(tail_len)
 
     # ---- step 2: tiny per-(hot key, salt) summaries, map-side ----------
+    # one pass emits BOTH row kinds: __kind=0 aggregate rows and (when a
+    # rolling spec exists) __kind=1 tail rows — the per-slice
+    # order-maximal rows a later salt's leading window reaches back into
     def hot_partial(t: pa.Table) -> pa.Table:
         df = t.to_pandas()
         df = df[df[key].isin(ray.get(hot_ref))]
+        empty_cols = {
+            key: pa.array([], t.schema.field(key).type),
+            _SALT: pa.array([], pa.int64()),
+            "__kind": pa.array([], pa.int64()),
+            "__n": pa.array([], pa.int64()),
+            "__last_ord": pa.array([], pa.int64()),
+            **{f"__sum_{c}": pa.array([], pa.int64()) for c in cum_srcs},
+            **{f"__last_{c}": pa.array([], pa.int64()) for c in lag_srcs},
+            "__ord": pa.array([], pa.int64()),
+            **{f"__tval_{c}": pa.array([], pa.int64()) for c in tail_srcs},
+        }
         if not len(df):
-            return pa.table(
-                {key: pa.array([], t.schema.field(key).type),
-                 _SALT: pa.array([], pa.int64()),
-                 "__n": pa.array([], pa.int64()),
-                 "__last_ord": pa.array([], pa.int64()),
-                 **{f"__sum_{c}": pa.array([], pa.int64()) for c in cum_srcs},
-                 **{f"__last_{c}": pa.array([], pa.int64()) for c in lag_srcs}}
-            )
+            return pa.table(empty_cols)
         df = df.copy()
         df[_SALT] = (df[order_col] // salt_width).astype("int64")
         g = df.groupby([key, _SALT], sort=False)
@@ -304,41 +322,80 @@ def salted_partitioned_window(
         last_idx = g[order_col].idxmax()
         for c in lag_srcs:
             out[f"__last_{c}"] = df.loc[last_idx, c].to_numpy()
-        return table_from_pandas(out.reset_index())
+        out = out.reset_index()
+        out["__kind"] = 0
+        frames = [out]
+        if tail_srcs:
+            t_max = max(tail_len.values())
+            tails = (df.sort_values(order_col, kind="mergesort")
+                     .groupby([key, _SALT], sort=False).tail(t_max))
+            trows = tails[[key, _SALT, order_col] + tail_srcs].rename(
+                columns={order_col: "__ord",
+                         **{c: f"__tval_{c}" for c in tail_srcs}})
+            trows["__kind"] = 1
+            frames.append(trows)
+        merged = pd.concat(frames, ignore_index=True)
+        for name in empty_cols:
+            if name not in merged.columns:
+                merged[name] = pd.NA
+        return table_from_pandas(
+            merged[list(empty_cols)],
+            schema=pa.schema([(n, a.type) for n, a in empty_cols.items()]),
+        )
 
     summaries = ds.map_batches(
         hot_partial, batch_format="pyarrow"
     ).to_pandas()
 
-    # driver combine (|hot| x |salts| rows) -> per-slice offsets
+    # driver combine (|hot| x |salts| rows + bounded tails) -> offsets
     offsets: dict = {}
     if len(summaries):
-        comb = summaries.groupby([key, _SALT], sort=True).agg(
+        aggs = summaries[summaries["__kind"] == 0]
+        comb = aggs.groupby([key, _SALT], sort=True).agg(
             __n=("__n", "sum"),
             __last_ord=("__last_ord", "max"),
             **{f"__sum_{c}": (f"__sum_{c}", "sum") for c in cum_srcs},
         )
         # the order-maximal row per slice across partials
-        tail = summaries.sort_values("__last_ord", kind="mergesort").groupby(
+        tail = aggs.sort_values("__last_ord", kind="mergesort").groupby(
             [key, _SALT], sort=True
         ).tail(1).set_index([key, _SALT])
         for c in lag_srcs:
             comb[f"__last_{c}"] = tail[f"__last_{c}"]
+        # per-slice trailing rows for rolling: last T by order, combined
+        # across partials
+        slice_tails: dict = {}
+        if tail_srcs:
+            trows = summaries[summaries["__kind"] == 1].sort_values(
+                "__ord", kind="mergesort")
+            for (k, salt), grp in trows.groupby([key, _SALT], sort=True):
+                slice_tails[(k, int(salt))] = {
+                    c: grp[f"__tval_{c}"].to_numpy()[
+                        -max(tail_len.values()):].astype(np.int64)
+                    for c in tail_srcs
+                }
         for k, grp in comb.groupby(level=0, sort=False):
             rn_off = 0
             cum_off = {c: 0 for c in cum_srcs}
             prev_last = {c: None for c in lag_srcs}
+            run_tail = {c: np.empty(0, np.int64) for c in tail_srcs}
             for (_, salt), row in grp.iterrows():
                 offsets[(k, int(salt))] = (
                     rn_off,
                     dict(cum_off),
                     dict(prev_last),
+                    {c: v.copy() for c, v in run_tail.items()},
                 )
                 rn_off += int(row["__n"])
                 for c in cum_srcs:
                     cum_off[c] += int(row[f"__sum_{c}"])
                 for c in lag_srcs:
                     prev_last[c] = row[f"__last_{c}"]
+                st = slice_tails.get((k, int(salt)), {})
+                for c in tail_srcs:
+                    if c in st:
+                        run_tail[c] = np.concatenate(
+                            [run_tail[c], st[c]])[-tail_len[c]:]
     off_ref = ray.put(offsets)
 
     # ---- step 3: one shuffle on (key, salt) -----------------------------
@@ -385,7 +442,7 @@ def salted_partitioned_window(
                     entry = offs.get((keys_np[i], int(salts[i])))
                     if entry is None:
                         continue
-                    rn_off, cum_off, prev_last = entry
+                    rn_off, cum_off, prev_last, prev_tail = entry
                     # slice extent: rows i..j of this (key, salt)
                     j = i + 1
                     while j < len(df) and not first[j]:
@@ -406,6 +463,22 @@ def salted_partitioned_window(
                                 df.iloc[i, col] = (
                                     df[src].iloc[i] - pl
                                 )
+                        elif kind == "rolling_sum":
+                            pt = prev_tail.get(src)
+                            if pt is None or not len(pt):
+                                continue  # first salt: window truncates
+                            w = int(fill)
+                            m = min(w - 1, j - i)
+                            if m <= 0:
+                                continue
+                            vals = df[src].to_numpy()[i : i + m]
+                            cs = np.cumsum(vals)
+                            # tail_sums[q] = sum of the last q prev values
+                            tail_sums = np.concatenate(
+                                [[0], np.cumsum(pt[::-1])])
+                            need = np.minimum(
+                                w - 1 - np.arange(m), len(pt))
+                            df.iloc[i : i + m, col] = cs + tail_sums[need]
         return table_from_pandas(df[out_cols])
 
     return bucketed.groupby(_BUCKET).map_groups(

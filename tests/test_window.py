@@ -115,7 +115,8 @@ def test_salted_mega_key_equals_unsalted(ray_session):
     specs = [("rn", "row_number", None, None),
              ("cum", "cumsum", "x", None),
              ("prev", "lag", "x", 0),
-             ("gap", "diff", "x", -1)]
+             ("gap", "diff", "x", -1),
+             ("roll7", "rolling_sum", "x", 7)]
     unsalted = (
         partitioned_window(_ds(rows), "k", ["o"], specs)
         .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
@@ -175,6 +176,10 @@ def test_salted_rejects_unsupported_kinds(ray_session):
         salted_partitioned_window(
             _ds(ROWS), "k", "o", [("r", "rank", "x", None)],
             hot_keys=["a"], salt_width=2)
+    with pytest.raises(NotImplementedError, match="cross-salt"):
+        salted_partitioned_window(
+            _ds(ROWS), "k", "o", [("t", "ntile", None, 2)],
+            hot_keys=["a"], salt_width=2)
 
 
 def test_ntile(ray_session):
@@ -191,3 +196,25 @@ def test_ntile(ray_session):
     assert df[df["k"] == "a"]["t4"].tolist() == [1, 1, 2, 3, 4]
     # 2 rows / 4 tiles: one row per tile
     assert df[df["k"] == "b"]["t4"].tolist() == [1, 2]
+
+
+def test_salted_rolling_window_spans_multiple_salts(ray_session):
+    # window (7) larger than the salt width (3): the leading rows of each
+    # salt reach back across SEVERAL previous salts; the driver's running
+    # tail walk must keep the full W-1 history
+    from docling_service_ray.functions.window import salted_partitioned_window
+
+    rows = [{"k": "m", "o": i, "x": (i * 13) % 17} for i in range(50)]
+    specs = [("roll7", "rolling_sum", "x", 7)]
+    unsalted = (
+        partitioned_window(_ds(rows), "k", ["o"], specs)
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    salted = (
+        salted_partitioned_window(
+            _ds(rows).repartition(8), "k", "o", specs,
+            hot_keys=["m"], salt_width=3)
+        .to_pandas().sort_values("o").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        unsalted, salted[unsalted.columns], check_dtype=False)
