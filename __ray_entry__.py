@@ -108,8 +108,10 @@ def _registry() -> tuple[dict, dict]:
                "revenue_cube",         # grouping sets -> revenue_rollup
                "full_outer_activity",  # full-outer join -> customer_order_stats
                "term_postings",        # ordered list agg -> tfidf_topk
-               "wav_meta")             # real RIFF/PCM decode -> png_meta
+               "wav_meta",             # real RIFF/PCM decode -> png_meta
                                        # (same real-codec roundtrip shape)
+               "edit_distance_pairs")  # exact pair verify -> dedup_exact
+                                       # (LSH members hold the dedup rows)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -195,6 +195,27 @@ def dedup_minhash(sf_dir: str):
     return minhash_lsh_pairs(ds, threshold=0.8)
 
 
+@register(
+    "edit_distance_pairs",
+    # DuckDB levenshtein is BYTE-based; the engine mirrors it on the
+    # UTF-8 bytes of the first-40-char prefix (corpus is ASCII, so
+    # chars == bytes here, but the engine is byte-exact regardless)
+    "SELECT a.doc_id AS a, b.doc_id AS b, "
+    "CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) "
+    "AS BIGINT) AS dist "
+    "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+    "WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 5",
+)
+def edit_distance_pairs_query(sf_dir: str):
+    """Exact prefix edit-distance pair mining: lockstep-vectorized
+    Levenshtein DP (one L^2 loop per batch across ALL pair lanes),
+    guarded all-pairs baseline of the near-dup family."""
+    from ..stages.dedup import edit_distance_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return edit_distance_pairs(ds, prefix_chars=40, max_dist=5)
+
+
 @register("dedup_simhash")  # rows-only
 def dedup_simhash(sf_dir: str):
     from ..stages.dedup import SimHasher, simhash_pairs

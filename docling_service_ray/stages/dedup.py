@@ -1118,6 +1118,140 @@ def ngram_jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) near-dup over short prefixes
+# ---------------------------------------------------------------------------
+
+MAX_EXACT_EDIT_ROWS = 20_000  # all-pairs DP is O(N * batch * L^2)
+
+
+def batched_levenshtein(a_mat: np.ndarray, a_len: np.ndarray,
+                        b_mat: np.ndarray, b_len: np.ndarray) -> np.ndarray:
+    """Levenshtein distance for MANY pairs at once: the classic DP, run in
+    LOCKSTEP across the pair axis — every (i, j) cell update is one numpy
+    vector op over all pairs, so the python-level loop is O(L^2) total,
+    not O(L^2) per pair.
+
+    ``a_mat``/``b_mat``: (P, L) zero-padded byte/codepoint matrices;
+    ``a_len``/``b_len``: true lengths. Returns (P,) int32 distances.
+    """
+    n_pairs, max_len = a_mat.shape
+    out = np.where(a_len == 0, b_len, 0).astype(np.int32)
+    prev = np.tile(np.arange(max_len + 1, dtype=np.int32), (n_pairs, 1))
+    done0 = a_len == 0
+    for i in range(1, max_len + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        sub = prev[:, :-1] + (a_mat[:, i - 1 : i] != b_mat)
+        dele = prev[:, 1:] + 1
+        for j in range(1, max_len + 1):
+            cur[:, j] = np.minimum(
+                np.minimum(dele[:, j - 1], sub[:, j - 1]),
+                cur[:, j - 1] + 1,
+            )
+        hit = a_len == i
+        if hit.any():
+            out[hit] = cur[hit, b_len[hit]]
+        prev = cur
+    out[done0] = b_len[done0]
+    return out
+
+
+def _prefix_bytes_matrix(texts, n_chars: int):
+    """(matrix, lengths) of the UTF-8 BYTES of each text's first
+    ``n_chars`` characters — byte-level to mirror DuckDB's byte-based
+    ``levenshtein`` exactly."""
+    encoded = [str(t)[:n_chars].encode("utf-8") for t in texts]
+    max_len = max((len(e) for e in encoded), default=1) or 1
+    mat = np.zeros((len(encoded), max_len), dtype=np.uint8)
+    lens = np.empty(len(encoded), dtype=np.int64)
+    for i, e in enumerate(encoded):
+        mat[i, : len(e)] = np.frombuffer(e, np.uint8)
+        lens[i] = len(e)
+    return mat, lens
+
+
+def edit_distance_pairs(ds, *, id_col: str = "doc_id",
+                        text_col: str = "text", prefix_chars: int = 40,
+                        max_dist: int = 5):
+    """All (a < b) id pairs whose text-prefix byte edit distance is
+    <= ``max_dist`` — the exact oracle-checkable member of the near-dup
+    family (DuckDB ``levenshtein`` mirrors it byte-for-byte).
+
+    Deliberately the EXACT all-pairs baseline, like the exact embedding
+    ops: the (id, prefix) table is collected (guarded by
+    ``MAX_EXACT_EDIT_ROWS``), broadcast once, and each batch runs the
+    lockstep-vectorized DP against the full list. The scale path for
+    unguarded corpora is LSH candidates (``ngram_jaccard_pairs`` /
+    ``minhash_lsh_pairs``) + this DP as the verify kernel."""
+    import ray
+
+    ref_df = ds.select_columns([id_col, text_col]).to_pandas()
+    if len(ref_df) > MAX_EXACT_EDIT_ROWS:
+        raise ValueError(
+            f"edit_distance_pairs is the exact all-pairs oracle path "
+            f"({len(ref_df)} rows > cap {MAX_EXACT_EDIT_ROWS}); use LSH "
+            "candidates + verify for corpora this large"
+        )
+    id_type = _id_arrow_type(ds, id_col)
+    all_ids = ref_df[id_col].to_numpy()
+    all_mat, all_len = _prefix_bytes_matrix(ref_df[text_col], prefix_chars)
+    order = np.argsort(all_ids, kind="mergesort")
+    ref = ray.put((all_ids[order], all_mat[order], all_len[order]))
+
+    def pairs_batch(df: pd.DataFrame) -> pa.Table:
+        ids_sorted, mat, lens = ray.get(ref)
+        bids = df[id_col].to_numpy()
+        bmat, blen = _prefix_bytes_matrix(df[text_col], prefix_chars)
+        width = max(mat.shape[1], bmat.shape[1])
+        if mat.shape[1] < width:
+            mat = np.pad(mat, ((0, 0), (0, width - mat.shape[1])))
+        if bmat.shape[1] < width:
+            bmat = np.pad(bmat, ((0, 0), (0, width - bmat.shape[1])))
+        # one STACKED DP per batch: every (row, larger-id partner) pair
+        # becomes one lane of the lockstep DP — the L^2 python loop runs
+        # once per batch, not once per row
+        starts = np.searchsorted(ids_sorted, bids, side="right")
+        counts = len(ids_sorted) - starts
+        if counts.sum() == 0:
+            return pa.table(
+                {"a": _ids_array([], id_type), "b": _ids_array([], id_type),
+                 "dist": pa.array([], pa.int64())}
+            )
+        row_idx = np.repeat(np.arange(len(bids)), counts)
+        within = (np.arange(int(counts.sum()))
+                  - np.repeat(np.cumsum(counts) - counts, counts))
+        partner = np.repeat(starts, counts) + within
+        # slab the lanes so DP state stays ~100 MB regardless of fan-out
+        slab = 500_000
+        out_a, out_b, out_d = [], [], []
+        for lo in range(0, len(row_idx), slab):
+            ri = row_idx[lo : lo + slab]
+            pi = partner[lo : lo + slab]
+            d = batched_levenshtein(bmat[ri], blen[ri], mat[pi], lens[pi])
+            keep = d <= max_dist
+            if keep.any():
+                out_a.append(bids[ri[keep]])
+                out_b.append(ids_sorted[pi[keep]])
+                out_d.append(d[keep].astype(np.int64))
+        if not out_a:
+            return pa.table(
+                {"a": _ids_array([], id_type), "b": _ids_array([], id_type),
+                 "dist": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "a": _ids_array(np.concatenate(out_a), id_type),
+                "b": _ids_array(np.concatenate(out_b), id_type),
+                "dist": pa.array(np.concatenate(out_d)),
+            }
+        )
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        pairs_batch, batch_format="pandas", batch_size=256
+    )
+
+
 MAX_EXACT_EMBED_ROWS = 500_000  # ~128 MB of f64x64 — broadcast-matrix cap
 
 

@@ -275,3 +275,55 @@ def test_incremental_dedup_idempotent_against_own_manifest(ray_session):
     assert acts.get("kept", 0) == 0
     assert acts.get("already_seen") == 5
     assert acts.get("deduplicated") == 3
+
+
+def test_batched_levenshtein_matches_reference():
+    import numpy as np
+
+    from docling_service_ray.stages.dedup import (
+        _prefix_bytes_matrix,
+        batched_levenshtein,
+    )
+
+    def ref(a, b):
+        la, lb = len(a), len(b)
+        D = list(range(lb + 1))
+        for i in range(1, la + 1):
+            prev_diag, D[0] = D[0], i
+            for j in range(1, lb + 1):
+                prev_diag, D[j] = D[j], min(
+                    D[j] + 1, D[j - 1] + 1, prev_diag + (a[i - 1] != b[j - 1]))
+        return D[lb]
+
+    import random
+
+    random.seed(4)
+    words = ["kitten", "sitting", "", "a", "ab", "hello world", "héllo",
+             "日本語テスト", "x" * 40]
+    pairs = [(random.choice(words), random.choice(words)) for _ in range(200)]
+    A, al = _prefix_bytes_matrix([p[0] for p in pairs], 40)
+    B, bl = _prefix_bytes_matrix([p[1] for p in pairs], 40)
+    w = max(A.shape[1], B.shape[1])
+    A = np.pad(A, ((0, 0), (0, w - A.shape[1])))
+    B = np.pad(B, ((0, 0), (0, w - B.shape[1])))
+    got = batched_levenshtein(A, al, B, bl)
+    exp = [ref(p[0][:40].encode(), p[1][:40].encode()) for p in pairs]
+    assert got.tolist() == exp
+
+
+def test_edit_distance_pairs_guard(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_service_ray.stages import dedup as dd
+
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2], "text": ["aa", "ab"]}))
+    old = dd.MAX_EXACT_EDIT_ROWS
+    dd.MAX_EXACT_EDIT_ROWS = 1
+    try:
+        with pytest.raises(ValueError, match="all-pairs oracle path"):
+            dd.edit_distance_pairs(ds)
+    finally:
+        dd.MAX_EXACT_EDIT_ROWS = old
+    out = dd.edit_distance_pairs(ds, max_dist=1).to_pandas()
+    assert out[["a", "b", "dist"]].values.tolist() == [[1, 2, 1]]
