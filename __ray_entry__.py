@@ -110,8 +110,9 @@ def _registry() -> tuple[dict, dict]:
                "term_postings",        # ordered list agg -> tfidf_topk
                "wav_meta",             # real RIFF/PCM decode -> png_meta
                                        # (same real-codec roundtrip shape)
-               "edit_distance_pairs")  # exact pair verify -> dedup_exact
+               "edit_distance_pairs",  # exact pair verify -> dedup_exact
                                        # (LSH members hold the dedup rows)
+               "gif_meta")             # real LZW decode -> png_meta
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -1,0 +1,238 @@
+"""Pure-stdlib GIF codec (the public GIF87a/89a spec): LZW-compressed
+palette images, single frame, non-interlaced.
+
+``decode_gif``: header + logical screen descriptor walk, global/local
+color table, extension skipping, full variable-width LZW decode
+(dictionary growth to 12 bits, clear/end codes), palette expansion to
+RGB pixels. Interlaced images raise ``NotImplementedError`` — loud,
+never a fake answer.
+
+``encode_gif``: palette-index matrix + RGB palette -> GIF bytes with a
+REAL LZW compressor (greedy longest-match, dictionary reset at 4096),
+so decoding our own output exercises the decoder's dictionary-growth
+path, not just literal roots.
+
+Third real codec beside ``pngcodec`` and ``wavcodec`` — the multimodal
+decode stage handles PNG, GIF and WAV from their public specs with the
+stdlib only (this container has no codec libraries). Reference stores
+binary artifacts keyed by content hash (app/main.py:711-718).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+_HEADERS = (b"GIF87a", b"GIF89a")
+
+
+class _BitReader:
+    """LSB-first variable-width code reader over concatenated sub-blocks."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.bitbuf = 0
+        self.nbits = 0
+
+    def read(self, width: int) -> int:
+        while self.nbits < width:
+            if self.pos >= len(self.data):
+                raise ValueError("GIF: LZW stream truncated")
+            self.bitbuf |= self.data[self.pos] << self.nbits
+            self.pos += 1
+            self.nbits += 8
+        v = self.bitbuf & ((1 << width) - 1)
+        self.bitbuf >>= width
+        self.nbits -= width
+        return v
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
+    clear = 1 << min_code_size
+    end = clear + 1
+    reader = _BitReader(data)
+    out = np.empty(n_pixels, np.uint8)
+    n_out = 0
+
+    def reset():
+        return {i: bytes([i]) for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    prev: bytes | None = None
+    next_code = end + 1
+    while n_out < n_pixels:
+        code = reader.read(width)
+        if code == clear:
+            table, width = reset()
+            next_code = end + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table[code]
+        elif code in table:
+            entry = table[code]
+        elif code == next_code:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"GIF: invalid LZW code {code}")
+        take = min(len(entry), n_pixels - n_out)
+        out[n_out : n_out + take] = np.frombuffer(entry[:take], np.uint8)
+        n_out += take
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if n_out != n_pixels:
+        raise ValueError("GIF: LZW stream ended early")
+    return out
+
+
+def decode_gif(data: bytes) -> dict:
+    """GIF bytes -> dict with ``width``, ``height``, ``channels`` (3) and
+    ``pixels`` (uint8 (h, w, 3), palette-expanded)."""
+    if data[:6] not in _HEADERS:
+        raise ValueError("not a GIF: bad signature")
+    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+        pos += 3 * n
+
+    while pos < len(data):
+        marker = data[pos]
+        pos += 1
+        if marker == 0x3B:  # trailer
+            raise ValueError("GIF: no image data before trailer")
+        if marker == 0x21:  # extension: label + sub-blocks, skip
+            pos += 1
+            while data[pos]:
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if marker != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{marker:02x}")
+        left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
+        pos += 9
+        if ipacked & 0x40:
+            raise NotImplementedError("GIF interlacing not supported")
+        palette = gct
+        if ipacked & 0x80:
+            n = 2 << (ipacked & 0x07)
+            palette = np.frombuffer(
+                data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
+            pos += 3 * n
+        if palette is None:
+            raise ValueError("GIF: image without a color table")
+        min_code_size = data[pos]
+        pos += 1
+        chunks = []
+        while data[pos]:
+            ln = data[pos]
+            chunks.append(data[pos + 1 : pos + 1 + ln])
+            pos += 1 + ln
+        pos += 1
+        idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("GIF: palette index out of range")
+        return {
+            "width": w,
+            "height": h,
+            "channels": 3,
+            "pixels": palette[idx].reshape(h, w, 3),
+        }
+    raise ValueError("GIF: truncated before image data")
+
+
+def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
+    """Greedy LZW (the spec's algorithm): longest known prefix -> code,
+    dictionary grows to 4096 then resets via a clear code."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int):
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    def reset():
+        return {bytes([i]): i for i in range(clear)}, min_code_size + 1
+
+    table, width = reset()
+    next_code = end + 1
+    emit(clear, width)
+    seq = b""
+    for b in indices.tobytes():
+        cand = seq + bytes([b])
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < 4096:
+            table[cand] = next_code
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
+        else:
+            emit(clear, width)
+            table, width = reset()
+            next_code = end + 1
+        seq = bytes([b])
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(indices: np.ndarray, palette: np.ndarray) -> bytes:
+    """uint8 index matrix ``(h, w)`` + uint8 palette ``(n, 3)`` -> GIF."""
+    if indices.dtype != np.uint8 or indices.ndim != 2:
+        raise ValueError("encode_gif expects a uint8 (h, w) index matrix")
+    if palette.ndim != 2 or palette.shape[1] != 3 or len(palette) > 256:
+        raise ValueError("encode_gif expects a (n<=256, 3) palette")
+    h, w = indices.shape
+    if h == 0 or w == 0:
+        raise ValueError("encode_gif: zero dimension")
+    if int(indices.max(initial=0)) >= len(palette):
+        raise ValueError("palette index out of range")
+    n_pal = 1
+    while (2 << (n_pal - 1)) < max(len(palette), 2):
+        n_pal += 1
+    n_entries = 2 << (n_pal - 1)
+    pal = np.zeros((n_entries, 3), np.uint8)
+    pal[: len(palette)] = palette
+    min_code_size = max(2, n_pal)
+
+    lzw = _lzw_encode(indices.reshape(-1), min_code_size)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", w, h, 0x80 | (n_pal - 1), 0, 0)
+        + pal.tobytes()
+        + b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        + bytes([min_code_size])
+        + bytes(blocks)
+        + b"\x3B"
+    )

@@ -791,6 +791,35 @@ def wav_meta(sf_dir: str):
     )
 
 
+@register(
+    "gif_meta",
+    # exact SQL mirror of the REAL-GIF roundtrip (attach_gif_payload_batch
+    # -> GifDecodeMeta, codec = extract/gifcodec.py: full LZW encode +
+    # decode with dictionary growth): grayscale palette pal[k]=(k,k,k)
+    # over the gradient index i % 256 => pixel_sum = 3 * gradient sum
+    "WITH m AS (SELECT doc_id, 1 + (length(text) * 3) % 50 AS w, "
+    "1 + (length(text) * 11) % 30 AS h FROM documents), "
+    "s AS (SELECT doc_id, w, h, w * h AS n FROM m) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height, "
+    "CAST(3 AS BIGINT) AS channels, "
+    "CAST(3 * ((n // 256) * 32640 + ((n % 256) * ((n % 256) - 1)) // 2) "
+    "AS BIGINT) AS pixel_sum FROM s",
+)
+def gif_meta(sf_dir: str):
+    """Third real codec roundtrip: per-doc GIF (real LZW both ways) ->
+    actor-pool decode -> oracle-checked dims + exact pixel sum."""
+    from ..stages.multimodal import GifDecodeMeta, attach_gif_payload_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    with_payload = ds.map_batches(
+        attach_gif_payload_batch, batch_format="pyarrow", batch_size=256
+    )
+    return with_payload.map_batches(
+        GifDecodeMeta, batch_format="pyarrow", batch_size=256, concurrency=2,
+        num_cpus=0.5,
+    ).select_columns(["doc_id", "width", "height", "channels", "pixel_sum"])
+
+
 @register("multimodal_features")  # rows-only (binary payload featurization)
 def multimodal_features(sf_dir: str):
     """Full multimodal chain: attach payload -> decode -> size/zone

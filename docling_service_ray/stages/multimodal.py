@@ -26,7 +26,10 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+from ..extract.gifcodec import decode_gif, encode_gif
 from ..extract.pngcodec import PNG_SIG, decode_png, encode_png
+
+GIF_SIGS = (b"GIF87a", b"GIF89a")
 
 MAGIC = b"FAKEIMG"
 HEADER = struct.Struct("<2H")
@@ -89,6 +92,15 @@ class DecodeImage:
                 "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
                 "codec": "png",
             }
+        if payload[:6] in GIF_SIGS:
+            info = decode_gif(payload)
+            return {
+                "width": info["width"],
+                "height": info["height"],
+                "n_bytes": len(payload),
+                "checksum": hashlib.blake2b(payload, digest_size=8).hexdigest(),
+                "codec": "gif",
+            }
         if payload[: len(MAGIC)] == MAGIC:
             w, h = HEADER.unpack(
                 payload[len(MAGIC) : len(MAGIC) + HEADER.size]
@@ -138,6 +150,42 @@ def attach_png_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Tabl
         pix = (np.arange(w * h * 3, dtype=np.int64) % 256).astype(np.uint8)
         payloads.append(encode_png(pix.reshape(h, w, 3), filters="cycle"))
     return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+def attach_gif_payload_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Derive a REAL GIF payload per row: grayscale-palette image whose
+    dimensions come from the text length and whose flat palette indices
+    follow ``index[i] = i % 256`` — pal[k] = (k, k, k), so the pixel sum
+    has the same closed form SQL can mirror as the PNG fixture (x3 for
+    the three equal channels)."""
+    pal = np.stack([np.arange(256, dtype=np.uint8)] * 3, axis=1)
+    payloads = []
+    for t in batch[text_col].to_pylist():
+        n = len(t or "")
+        w = 1 + (n * 3) % 50
+        h = 1 + (n * 11) % 30
+        idx = (np.arange(w * h, dtype=np.int64) % 256).astype(np.uint8)
+        payloads.append(encode_gif(idx.reshape(h, w), pal))
+    return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+
+class GifDecodeMeta:
+    """Actor-pool REAL-GIF decode stage: full LZW decode + palette
+    expansion per payload, emitting dimensions and the exact pixel sum."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, chans, sums = [], [], [], []
+        for p in batch["payload"].to_pylist():
+            info = decode_gif(p)
+            widths.append(info["width"])
+            heights.append(info["height"])
+            chans.append(info["channels"])
+            sums.append(int(info["pixels"].astype(np.int64).sum()))
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("width", pa.array(widths, pa.int64()))
+        out = out.append_column("height", pa.array(heights, pa.int64()))
+        out = out.append_column("channels", pa.array(chans, pa.int64()))
+        return out.append_column("pixel_sum", pa.array(sums, pa.int64()))
 
 
 class PngDecodeMeta:

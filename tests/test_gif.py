@@ -1,0 +1,93 @@
+"""Pure-stdlib GIF codec tests: LZW roundtrips incl. dictionary growth
+and the 4096 reset, extension skipping, loud failure modes, and the
+oracle-formula fixture."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from docling_service_ray.extract.gifcodec import decode_gif, encode_gif
+
+
+def test_roundtrip_random_palettes():
+    rng = np.random.default_rng(11)
+    for (h, w, npal) in [(1, 1, 2), (7, 5, 4), (31, 47, 256), (3, 200, 7)]:
+        pal = rng.integers(0, 256, size=(npal, 3)).astype(np.uint8)
+        idx = rng.integers(0, npal, size=(h, w)).astype(np.uint8)
+        out = decode_gif(encode_gif(idx, pal))
+        assert (out["width"], out["height"]) == (w, h)
+        assert (out["pixels"] == pal[idx]).all()
+
+
+def test_lzw_dictionary_growth_and_reset():
+    # 90k pixels of long runs: codes grow to 12 bits and the table
+    # resets at 4096 — the decoder must follow both transitions
+    idx = np.zeros((300, 300), np.uint8)
+    idx[::3, :] = 1
+    pal = np.array([[0, 0, 0], [255, 255, 255]], np.uint8)
+    out = decode_gif(encode_gif(idx, pal))
+    assert (out["pixels"] == pal[idx]).all()
+
+
+def test_extension_blocks_are_skipped():
+    idx = np.arange(4, dtype=np.uint8).reshape(2, 2)
+    pal = np.stack([np.arange(4, dtype=np.uint8)] * 3, axis=1)
+    gif = bytearray(encode_gif(idx, pal))
+    # inject a graphic-control extension before the image descriptor
+    img_at = gif.index(0x2C, 13)
+    ext = bytes([0x21, 0xF9, 0x04, 0, 0, 0, 0, 0])
+    gif[img_at:img_at] = ext
+    out = decode_gif(bytes(gif))
+    assert (out["pixels"] == pal[idx]).all()
+
+
+def test_interlaced_raises():
+    idx = np.zeros((2, 2), np.uint8)
+    pal = np.array([[0, 0, 0]], np.uint8)
+    gif = bytearray(encode_gif(idx, pal))
+    desc = gif.index(0x2C, 13)
+    gif[desc + 9] |= 0x40  # set interlace flag
+    with pytest.raises(NotImplementedError, match="interlacing"):
+        decode_gif(bytes(gif))
+
+
+def test_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTAGIF89a!!")
+    good = encode_gif(np.zeros((4, 4), np.uint8),
+                      np.array([[1, 2, 3]], np.uint8))
+    with pytest.raises(Exception):
+        decode_gif(good[:20])
+
+
+def test_decode_image_actor_dispatches_gif():
+    from docling_service_ray.stages.multimodal import DecodeImage
+
+    pal = np.array([[9, 9, 9]], np.uint8)
+    payload = encode_gif(np.zeros((60, 70), np.uint8), pal)
+    meta = DecodeImage().decode_one(payload)
+    assert meta["codec"] == "gif"
+    assert (meta["width"], meta["height"]) == (70, 60)
+
+
+def test_gif_fixture_matches_formula():
+    import pyarrow as pa
+
+    from docling_service_ray.stages.multimodal import (
+        GifDecodeMeta,
+        attach_gif_payload_batch,
+    )
+
+    texts = ["", "a" * 9, "b" * 333]
+    batch = pa.table({"doc_id": [1, 2, 3], "text": texts})
+    out = GifDecodeMeta()(attach_gif_payload_batch(batch))
+    for i, t in enumerate(texts):
+        n = len(t)
+        w, h = 1 + (n * 3) % 50, 1 + (n * 11) % 30
+        npx = w * h
+        expect = 3 * ((npx // 256) * 32640
+                      + (npx % 256) * ((npx % 256) - 1) // 2)
+        assert out["width"][i].as_py() == w
+        assert out["height"][i].as_py() == h
+        assert out["pixel_sum"][i].as_py() == expect
