@@ -36,7 +36,8 @@ _BUCKET = "__wbucket"
 
 # spec kinds -> (needs src column?, description)
 KINDS = ("row_number", "cumsum", "lag", "diff", "rolling_sum", "rank",
-         "dense_rank", "ntile")
+         "dense_rank", "ntile", "lead", "first_value", "last_value",
+         "percent_rank", "cume_dist")
 
 
 def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
@@ -131,6 +132,78 @@ def _apply_window_specs(df: pd.DataFrame, part_key, specs) -> pd.DataFrame:
                     ).astype("int64")
             else:
                 df[out] = pd.Series([], dtype="int64")
+        elif kind == "lead":
+            # next row's src within the partition; last row of each
+            # partition gets ``fill`` (or NA) — mirror image of lag, same
+            # integer-exact discipline
+            vals = df[src].to_numpy()
+            n_rows = len(df)
+            nxt = np.empty_like(vals)
+            last = np.zeros(n_rows, bool)
+            if n_rows:
+                nxt[:-1] = vals[1:]
+                nxt[-1] = vals[-1]  # masked below
+                last[-1] = True
+                last[:-1] = first[1:]
+            is_int = np.issubdtype(vals.dtype, np.integer)
+            outv = nxt.copy()
+            if fill is not None:
+                outv[last] = fill
+                df[out] = outv if not is_int else outv.astype("int64")
+            else:
+                if is_int:
+                    s = pd.array(outv, dtype="Int64")
+                    s[last] = pd.NA
+                    df[out] = s
+                else:
+                    outv = outv.astype(float)
+                    outv[last] = np.nan
+                    df[out] = outv
+        elif kind in ("first_value", "last_value"):
+            # FIRST_VALUE over the default frame / LAST_VALUE over the
+            # FULL frame (ROWS UNBOUNDED PRECEDING..UNBOUNDED FOLLOWING —
+            # the only useful LAST_VALUE; current-row frames are identity)
+            vals = df[src].to_numpy()
+            n_rows = len(df)
+            if n_rows:
+                if kind == "first_value":
+                    pick = np.maximum.accumulate(
+                        np.where(first, np.arange(n_rows), 0))
+                else:
+                    starts = np.flatnonzero(first)
+                    ends = np.append(starts[1:], n_rows) - 1
+                    group_id = np.cumsum(first) - 1
+                    pick = ends[group_id]
+                df[out] = vals[pick]
+            else:
+                df[out] = df[src]
+        elif kind in ("percent_rank", "cume_dist"):
+            # SQL PERCENT_RANK = (rank-1)/(size-1), 0.0 for size-1
+            # partitions; CUME_DIST = (last peer position + 1)/size.
+            # Ties on ``src`` (the ordering column). Doubles are the exact
+            # same IEEE divisions DuckDB performs — bit-identical.
+            vals = df[src].to_numpy()
+            n_rows = len(df)
+            if n_rows:
+                new_run = first.copy()
+                new_run[1:] |= vals[1:] != vals[:-1]
+                cc = g.cumcount().to_numpy()
+                group_id = np.cumsum(first) - 1
+                sizes = np.bincount(group_id)[group_id]
+                if kind == "percent_rank":
+                    run_idx = np.maximum.accumulate(
+                        np.where(new_run, np.arange(n_rows), 0))
+                    rank = cc[run_idx] + 1
+                    df[out] = np.where(
+                        sizes > 1, (rank - 1) / np.maximum(sizes - 1, 1),
+                        0.0)
+                else:
+                    run_starts = np.flatnonzero(new_run)
+                    run_ends = np.append(run_starts[1:], n_rows) - 1
+                    run_id = np.cumsum(new_run) - 1
+                    df[out] = (cc[run_ends[run_id]] + 1) / sizes
+            else:
+                df[out] = pd.Series([], dtype="float64")
         elif kind == "ntile":
             # SQL NTILE(n): first (size % n) tiles get ceil(size/n) rows.
             # Deterministic only when the order columns are unique per

@@ -1029,6 +1029,51 @@ def rolling_rank_revenue(sf_dir: str):
 
 
 @register(
+    "order_neighbors",
+    # the remaining SQL window kinds: LEAD (explicit default), FIRST_VALUE,
+    # full-frame LAST_VALUE, and the two distribution functions with REAL
+    # ties (order dates repeat within a customer). pct/cume are the exact
+    # IEEE divisions both engines perform — bit-identical doubles.
+    "SELECT o_custkey, o_orderkey, "
+    "CAST(LEAD(o_orderkey, 1, -1) OVER w AS BIGINT) AS next_key, "
+    "CAST(FIRST_VALUE(o_orderkey) OVER w AS BIGINT) AS first_key, "
+    "CAST(LAST_VALUE(o_orderkey) OVER (PARTITION BY o_custkey "
+    "ORDER BY o_orderdate, o_orderkey "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+    "AS BIGINT) AS last_key, "
+    "PERCENT_RANK() OVER wd AS pct_rank, "
+    "CUME_DIST() OVER wd AS cume "
+    "FROM orders WINDOW "
+    "w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), "
+    "wd AS (PARTITION BY o_custkey ORDER BY o_orderdate)",
+)
+def order_neighbors(sf_dir: str):
+    """LEAD / FIRST_VALUE / LAST_VALUE / PERCENT_RANK / CUME_DIST per
+    customer — completes the window family; same one-shuffle plan."""
+    from ..functions.window import partitioned_window
+
+    ds = read_table(
+        sf_dir, "orders",
+        columns=["o_custkey", "o_orderkey", "o_orderdate"],
+    )
+    out = partitioned_window(
+        ds,
+        key="o_custkey",
+        order_by=["o_orderdate", "o_orderkey"],
+        specs=[("next_key", "lead", "o_orderkey", -1),
+               ("first_key", "first_value", "o_orderkey", None),
+               ("last_key", "last_value", "o_orderkey", None),
+               ("pct_rank", "percent_rank", "o_orderdate", None),
+               ("cume", "cume_dist", "o_orderdate", None)],
+        keep_columns=["o_custkey", "o_orderkey"],
+    )
+    return out.select_columns(
+        ["o_custkey", "o_orderkey", "next_key", "first_key", "last_key",
+         "pct_rank", "cume"]
+    )
+
+
+@register(
     "event_gaps",
     # LAG-based inter-event delta per user; first event of a user -> -1.
     # epoch_us on both sides keeps the arithmetic in exact int64 microseconds.

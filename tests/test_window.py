@@ -54,7 +54,37 @@ def test_many_buckets_no_key_split(ray_session):
 
 def test_unknown_kind_raises(ray_session):
     with pytest.raises(ValueError, match="unknown window kind"):
-        partitioned_window(_ds(ROWS), "k", ["o"], [("y", "percent_rank", "x", None)])
+        partitioned_window(_ds(ROWS), "k", ["o"], [("y", "median_of", "x", None)])
+
+
+def test_lead_first_last(ray_session):
+    df = _run([("nxt", "lead", "x", -1),
+               ("fst", "first_value", "x", None),
+               ("lst", "last_value", "x", None)])
+    # k=a ordered: x = 1, 4, 2 ; k=b ordered: x = 5, 10
+    assert df["nxt"].tolist() == [4, 2, -1, 10, -1]
+    assert df["fst"].tolist() == [1, 1, 1, 5, 5]
+    assert df["lst"].tolist() == [2, 2, 2, 10, 10]
+
+
+def test_lead_without_fill_is_nullable(ray_session):
+    df = _run([("nxt", "lead", "x", None)])
+    assert df["nxt"].iloc[0] == 4 and pd.isna(df["nxt"].iloc[2])
+    assert pd.isna(df["nxt"].iloc[4])
+
+
+def test_percent_rank_cume_dist_with_ties(ray_session):
+    rows = [{"k": "a", "o": i, "d": v} for i, v in
+            enumerate([3, 3, 5, 5, 5, 9])] + [{"k": "b", "o": 0, "d": 7}]
+    out = partitioned_window(
+        _ds(rows), "k", ["d", "o"],
+        [("pr", "percent_rank", "d", None), ("cd", "cume_dist", "d", None)],
+        keep_columns=["k", "o", "d"],
+    ).to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    # SQL semantics: rank over ties / (n-1); last-peer position / n
+    assert out["pr"].tolist() == [0.0, 0.0, 0.4, 0.4, 0.4, 1.0, 0.0]
+    assert out["cd"].tolist() == [
+        2 / 6, 2 / 6, 5 / 6, 5 / 6, 5 / 6, 1.0, 1.0]
 
 
 def test_parallelism_invariance(ray_session):
