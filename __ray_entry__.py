@@ -113,8 +113,10 @@ def _registry() -> tuple[dict, dict]:
                "edit_distance_pairs",  # exact pair verify -> dedup_exact
                                        # (LSH members hold the dedup rows)
                "gif_meta",             # real LZW decode -> png_meta
-               "order_neighbors")      # lead/first/last/pct window kinds
+               "order_neighbors",      # lead/first/last/pct window kinds
                                        # -> running_revenue
+               "bag_intersect",        # multiset set ops -> set_union
+               "bag_except")           # multiset set ops -> set_union
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

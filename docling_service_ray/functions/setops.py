@@ -1,5 +1,6 @@
 """Distributed set operations on a key column: union-distinct, intersect,
-except. Neither the reference (SURVEY.md §2.7: "No union/intersect
+except, plus multiset INTERSECT ALL / EXCEPT ALL.
+Neither the reference (SURVEY.md §2.7: "No union/intersect
 operators") nor this Ray version's Dataset API ships them; a 100 TB
 training-data pipeline needs them for id-set algebra (split management,
 exclusion lists, incremental corpus diffs).
@@ -83,4 +84,78 @@ def except_keys(a, b, key: str, *, n_buckets: int = 64):
     return _resolve(
         _tagged_union(a, b, key, n_buckets), key,
         lambda in_a, in_b: in_a & ~in_b,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bag (multiset) semantics: INTERSECT ALL / EXCEPT ALL. Same one-shuffle
+# plan, but the exchange moves per-batch PARTIAL COUNTS (key, side, n)
+# instead of distinct keys — still never raw rows — and each bucket emits
+# every key repeated by its result multiplicity (min(n_a, n_b) for
+# INTERSECT ALL, max(n_a - n_b, 0) for EXCEPT ALL — the SQL definitions).
+# ---------------------------------------------------------------------------
+_N = "__set_n"
+
+
+def _tagged_counts(a, b, key: str, n_buckets: int):
+    def tag(side: int):
+        def fn(tbl: pa.Table) -> pa.Table:
+            df = tbl.select([key]).to_pandas()
+            cnt = df.groupby(key, sort=False).size()
+            out = pa.table(
+                {
+                    key: pa.array(cnt.index.to_numpy()),
+                    _N: pa.array(cnt.to_numpy().astype(np.int64)),
+                }
+            )
+            out = bucket_column(out, key, n_buckets, _BUCKET)
+            return out.append_column(
+                _SIDE, pa.array(np.full(len(cnt), side, np.int8))
+            )
+
+        return fn
+
+    return a.map_batches(tag(0), batch_format="pyarrow").union(
+        b.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+
+def _resolve_bag(tagged, key: str, mult):
+    """mult(n_a: int64 array, n_b: int64 array) -> result multiplicity."""
+
+    def resolve_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        sums = (
+            df.groupby([key, _SIDE], sort=True)[_N].sum().unstack(fill_value=0)
+        )
+        n_a = (
+            sums[0].to_numpy()
+            if 0 in sums.columns else np.zeros(len(sums), np.int64)
+        )
+        n_b = (
+            sums[1].to_numpy()
+            if 1 in sums.columns else np.zeros(len(sums), np.int64)
+        )
+        m = mult(n_a, n_b)
+        keys = sums.index.to_numpy()
+        keep = m > 0
+        return pa.table({key: pa.array(np.repeat(keys[keep], m[keep]))})
+
+    return tagged.groupby(_BUCKET).map_groups(
+        resolve_bucket, batch_format="pyarrow"
+    )
+
+
+def intersect_all(a, b, key: str, *, n_buckets: int = 64):
+    """Each key repeated min(count_a, count_b) times (SQL INTERSECT ALL)."""
+    return _resolve_bag(
+        _tagged_counts(a, b, key, n_buckets), key, np.minimum
+    )
+
+
+def except_all(a, b, key: str, *, n_buckets: int = 64):
+    """Each key repeated max(count_a - count_b, 0) times (SQL EXCEPT ALL)."""
+    return _resolve_bag(
+        _tagged_counts(a, b, key, n_buckets), key,
+        lambda n_a, n_b: np.maximum(n_a - n_b, 0),
     )

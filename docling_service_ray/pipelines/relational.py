@@ -652,6 +652,46 @@ def set_except(sf_dir: str):
     return except_keys(a, b, "doc_id")
 
 
+def _bag_op_sides(sf_dir: str):
+    # both sides carry REAL multiplicities (customers place many orders
+    # in each slice), so ALL-semantics differ from the distinct ops
+    ds = read_table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    a = ds.filter(expr="o_orderpriority == '1-URGENT'").select_columns(
+        ["o_custkey"])
+    b = ds.filter(expr="o_totalprice > 100000.0").select_columns(
+        ["o_custkey"])
+    return a, b
+
+
+@register(
+    "bag_intersect",
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "INTERSECT ALL "
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0",
+)
+def bag_intersect(sf_dir: str):
+    """Multiset INTERSECT ALL — each key min(count_a, count_b) times."""
+    from ..functions.setops import intersect_all
+
+    a, b = _bag_op_sides(sf_dir)
+    return intersect_all(a, b, "o_custkey")
+
+
+@register(
+    "bag_except",
+    "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
+    "EXCEPT ALL "
+    "SELECT o_custkey FROM orders WHERE o_totalprice > 100000.0",
+)
+def bag_except(sf_dir: str):
+    """Multiset EXCEPT ALL — each key max(count_a - count_b, 0) times."""
+    from ..functions.setops import except_all
+
+    a, b = _bag_op_sides(sf_dir)
+    return except_all(a, b, "o_custkey")
+
+
 # ---------------------------------------------------------------------------
 # multi-join composition (Q5-shaped): big-big bucketed join chained with
 # broadcast dims, pre-aggregated before the final shuffle

@@ -61,6 +61,40 @@ def test_setops_randomized_vs_python_sets(ray_session):
         assert got_e == sorted(sa - sb)
 
 
+def test_bag_ops(ab):
+    from docling_service_ray.functions.setops import except_all, intersect_all
+
+    a, b = ab  # a = {1,2×2,3,4,5×2}, b = {4,5,6,7×2}
+    assert sorted(intersect_all(a, b, "k").to_pandas()["k"]) == [4, 5]
+    assert sorted(except_all(a, b, "k").to_pandas()["k"]) == [1, 2, 2, 3, 5]
+    assert sorted(except_all(b, a, "k").to_pandas()["k"]) == [6, 7, 7]
+
+
+def test_bag_ops_randomized_vs_counter(ray_session):
+    """Seeded random multisets: ALL-semantics must equal Counter algebra
+    (min / saturating difference of multiplicities), across many blocks so
+    partial counts genuinely combine."""
+    from collections import Counter
+
+    import ray.data as rd
+
+    from docling_service_ray.functions.setops import except_all, intersect_all
+
+    rng = np.random.default_rng(77)
+    for trial in range(3):
+        xs = rng.integers(-20, 20, size=rng.integers(50, 300)).tolist()
+        ys = rng.integers(-20, 20, size=rng.integers(50, 300)).tolist()
+        a = rd.from_items([{"k": int(v)} for v in xs]).repartition(8)
+        b = rd.from_items([{"k": int(v)} for v in ys]).repartition(8)
+        ca, cb = Counter(xs), Counter(ys)
+        exp_i = sorted(
+            k for k in ca.keys() & cb.keys() for _ in range(min(ca[k], cb[k]))
+        )
+        exp_e = sorted(k for k in ca for _ in range(max(ca[k] - cb.get(k, 0), 0)))
+        assert sorted(intersect_all(a, b, "k").to_pandas().get("k", [])) == exp_i
+        assert sorted(except_all(a, b, "k").to_pandas().get("k", [])) == exp_e
+
+
 def test_kmv_sketch_accuracy(ray_session):
     """KMV estimate within ~10% at 8x the sketch size; exact below k."""
     import ray.data as rd
