@@ -1075,6 +1075,57 @@ def embedding_lsh_recall(sf_dir: str):
     )
 
 
+@register("quantile_sketch_error")  # rows-only: it IS the measurement
+def quantile_sketch_error(sf_dir: str):
+    """Measured max rank error of ``sampled_quantile_boundaries`` (the
+    unbounded-domain scale path of the range partitioner) against the
+    EXACT ranks, on the highest-cardinality column in the corpus (event
+    timestamps). Same discipline as the near-dup/ANN recall queries: the
+    approximation's quality bound — O(N/sqrt(sample_k)) rank error —
+    becomes a driver-recorded artifact instead of a docstring claim.
+
+    Exact ranks are computed distributed: per-batch partial
+    ``count(x <= boundary)`` rows, bucket-agg summed — only
+    ``n_parts - 1`` rows ever reach the driver."""
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.partitioning import sampled_quantile_boundaries
+
+    n_parts, sample_k = 16, 16384
+    vals = read_table(sf_dir, "events", columns=["ts"]).map_batches(
+        lambda t: pa.table({"ts_us": pc.cast(t["ts"], pa.int64())}),
+        batch_format="pyarrow",
+    ).materialize()  # two consumers: the sampler and the rank pass
+    n = vals.count()
+    bounds = np.asarray(
+        sampled_quantile_boundaries(vals, "ts_us", n_parts,
+                                    sample_k=sample_k),
+        np.int64,
+    )
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        x = np.sort(batch["ts_us"].to_numpy())
+        cnt = np.searchsorted(x, bounds, side="right").astype(np.int64)
+        return pa.table({
+            "bi": pa.array(np.arange(len(bounds), dtype=np.int64)),
+            "cnt": pa.array(cnt),
+        })
+
+    ranks = bucketed_group_agg(
+        vals.map_batches(rank_partial, batch_format="pyarrow"),
+        ["bi"], {"rank": ("cnt", "sum")}, n_buckets=4,
+    ).to_pandas().sort_values("bi")
+    target = np.arange(1, n_parts) / n_parts
+    err = float(np.abs(ranks["rank"].to_numpy() / n - target).max())
+    return pd.DataFrame(
+        {
+            "n_rows": [n],
+            "n_parts": [n_parts],
+            "sample_k": [sample_k],
+            "max_rank_err_pct": [100.0 * err],
+        }
+    )
+
+
 # ---------------------------------------------------------------------------
 # interval (range-predicate) join + grouped exact percentiles.
 # Registered AFTER the driver's 50-query window by design (the window's

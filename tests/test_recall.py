@@ -43,3 +43,13 @@ def test_embedding_lsh_recall(queries):
     assert row["n_exact_pairs"] > 0
     # 4-table sign-LSH: 1-(1-r)^4 with r~0.63 single-table -> >=0.95
     assert row["recall_pct"] >= 90
+
+
+def test_quantile_sketch_error(queries):
+    row = queries["quantile_sketch_error"](SF).to_dict("records")[0]
+    assert row["n_rows"] > 0
+    # sf0.001 has fewer rows than sample_k, so the "sample" is the full
+    # column and the measured rank error collapses to the quantization
+    # floor; at any corpus size the O(N/sqrt(k)) bound puts it under a
+    # few percent
+    assert row["max_rank_err_pct"] < 3.0
