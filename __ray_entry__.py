@@ -116,7 +116,8 @@ def _registry() -> tuple[dict, dict]:
                "order_neighbors",      # lead/first/last/pct window kinds
                                        # -> running_revenue
                "bag_intersect",        # multiset set ops -> set_union
-               "bag_except")           # multiset set ops -> set_union
+               "bag_except",           # multiset set ops -> set_union
+               "schema_union")         # union-by-name -> set_union
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -159,3 +159,37 @@ def except_all(a, b, key: str, *, n_buckets: int = 64):
         _tagged_counts(a, b, key, n_buckets), key,
         lambda n_a, n_b: np.maximum(n_a - n_b, 0),
     )
+
+
+def union_by_name(a, b):
+    """SQL ``UNION ALL BY NAME``: all rows of both sides with schemas
+    aligned by COLUMN NAME — a column missing on one side becomes nulls
+    there (DuckDB union_by_name / pandas concat semantics). Ray's
+    ``Dataset.union`` requires identical schemas; heterogeneous shards
+    (schema drift across corpus vintages) are routine at 100 TB.
+
+    Zero shuffle: each side is null-padded and type-aligned map-side to
+    the unified schema (``pa.unify_schemas`` permissive promotion — e.g.
+    int32 | int64 -> int64), then block-level union. Column order is
+    side-a's columns followed by side-b-only columns, as in SQL."""
+    from .arrow_util import arrow_schema_of
+
+    unified = pa.unify_schemas(
+        [arrow_schema_of(a), arrow_schema_of(b)],
+        promote_options="permissive",
+    )
+
+    def pad(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cols = {}
+        for f in unified:
+            if f.name in t.column_names:
+                cols[f.name] = pc.cast(t[f.name], f.type)
+            else:
+                cols[f.name] = pa.nulls(len(t), f.type)
+        return pa.table(cols)
+
+    return a.map_batches(pad, batch_format="pyarrow").union(
+        b.map_batches(pad, batch_format="pyarrow")
+    )

@@ -679,6 +679,41 @@ def bag_intersect(sf_dir: str):
 
 
 @register(
+    "schema_union",
+    # UNION ALL BY NAME across two different projections; nulls the
+    # engine pads are coalesced to sentinels so the value hash is
+    # dtype-stable on both sides (NULL int columns go float64 in pandas)
+    "SELECT doc_id, lang, CAST(-1 AS BIGINT) AS n_chars "
+    "FROM documents WHERE lang = 'en' "
+    "UNION ALL "
+    "SELECT doc_id, '' AS lang, n_chars "
+    "FROM documents WHERE n_chars <= 200",
+)
+def schema_union(sf_dir: str):
+    """Schema-drift union: two shards with different column sets align by
+    name (missing columns null-padded map-side, zero shuffle)."""
+    from ..functions.setops import union_by_name
+
+    docs = read_table(sf_dir, "documents",
+                      columns=["doc_id", "lang", "n_chars"])
+    a = docs.filter(expr="lang == 'en'").select_columns(["doc_id", "lang"])
+    b = docs.filter(expr="n_chars <= 200").select_columns(
+        ["doc_id", "n_chars"])
+
+    def fill(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "lang": pc.fill_null(t["lang"], ""),
+                "n_chars": pc.fill_null(pc.cast(t["n_chars"], pa.int64()),
+                                        -1),
+            }
+        )
+
+    return union_by_name(a, b).map_batches(fill, batch_format="pyarrow")
+
+
+@register(
     "bag_except",
     "SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT' "
     "EXCEPT ALL "

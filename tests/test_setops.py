@@ -95,6 +95,29 @@ def test_bag_ops_randomized_vs_counter(ray_session):
         assert sorted(except_all(a, b, "k").to_pandas().get("k", [])) == exp_e
 
 
+def test_union_by_name_null_padding_and_promotion(ray_session):
+    """Missing columns become genuine NULLs; int32|int64 promotes; column
+    order is side-a then side-b-only."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from docling_service_ray.functions.setops import union_by_name
+
+    a = rd.from_arrow(pa.table({
+        "id": pa.array([1, 2], pa.int32()),
+        "name": pa.array(["x", "y"]),
+    }))
+    b = rd.from_arrow(pa.table({
+        "id": pa.array([3], pa.int64()),
+        "score": pa.array([2.5]),
+    }))
+    df = union_by_name(a, b).to_pandas().sort_values("id").reset_index(drop=True)
+    assert list(df.columns) == ["id", "name", "score"]
+    assert df["id"].tolist() == [1, 2, 3]
+    assert df["name"].tolist()[:2] == ["x", "y"] and df["name"].isna().iloc[2]
+    assert df["score"].isna().iloc[0] and df["score"].iloc[2] == 2.5
+
+
 def test_kmv_sketch_accuracy(ray_session):
     """KMV estimate within ~10% at 8x the sketch size; exact below k."""
     import ray.data as rd
