@@ -117,7 +117,12 @@ def _registry() -> tuple[dict, dict]:
                                        # -> running_revenue
                "bag_intersect",        # multiset set ops -> set_union
                "bag_except",           # multiset set ops -> set_union
-               "schema_union")         # union-by-name -> set_union
+               "schema_union",         # union-by-name -> set_union
+               # yields its slot to corr_by_lang (NEW cross-moment
+               # mechanism, no prior driver row); broadcast dim-join +
+               # agg stays represented by revenue_rollup and
+               # orders_by_nation, both in-window:
+               "q5_region_revenue")
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -2141,3 +2141,96 @@ def range_partition_docs(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "n_chars"])
     bounds = exact_quantile_boundaries(ds, "n_chars", 4)
     return assign_range_partition(ds, "n_chars", bounds)
+
+
+# ---------------------------------------------------------------------------
+# Grouped Pearson correlation: corr(n_chars, n_spaces) per lang. New
+# mechanism vs the moment family above: CROSS-moment partials (sum xy)
+# folded map-side, one tiny groupby-sum exchange, correlation assembled
+# from six exact int64 scalars per group. The SQL mirrors the identical
+# float expression tree (never DuckDB's corr(), whose internal Welford
+# order would differ in the last ulp).
+# Reference analogy: per-doc stats correlation (app/main.py counters);
+# the grouped-partial shape follows §2.5 pre-aggregation guidance.
+# ---------------------------------------------------------------------------
+@register(
+    "corr_by_lang",
+    "WITH v AS (SELECT lang, n_chars AS x, "
+    "length(text) - length(replace(text, ' ', '')) AS y FROM documents), "
+    "s AS (SELECT lang, COUNT(*) AS n_docs, "
+    "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy, "
+    "CAST(SUM(x * y) AS BIGINT) AS sxy, "
+    "CAST(SUM(x * x) AS BIGINT) AS sxx, "
+    "CAST(SUM(y * y) AS BIGINT) AS syy FROM v GROUP BY lang) "
+    "SELECT lang, n_docs, "
+    "(n_docs * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / sqrt((n_docs * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) "
+    "* CAST(sx AS DOUBLE)) * (n_docs * CAST(syy AS DOUBLE) "
+    "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS corr_chars_spaces "
+    "FROM s",
+)
+def corr_by_lang(sf_dir: str):
+    """Per-lang Pearson r between doc length and space count.
+
+    Scale shape: the only exchange is the per-lang partial table
+    (|langs| x blocks rows of six int64s) -- text never shuffles.
+    int64 partials are exact for n_chars*rows products < 2^63 (holds
+    to ~1e10 docs at 1e4 chars); beyond that the partials would need
+    a two-word fold, called out here rather than silently truncated.
+    """
+    from ray.data.aggregate import Sum
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text", "n_chars"])
+
+    def partial(batch: pa.Table) -> pd.DataFrame:
+        x = batch["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+        nospace = pc.replace_substring(batch["text"], " ", "")
+        y = (
+            pc.subtract(
+                pc.utf8_length(batch["text"]), pc.utf8_length(nospace)
+            )
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        df = pd.DataFrame(
+            {
+                "lang": batch["lang"].to_pandas(),
+                "x": x, "y": y, "xy": x * y, "xx": x * x, "yy": y * y,
+            }
+        )
+        out = (
+            df.groupby("lang", sort=False)
+            .agg(
+                n_docs=("x", "size"),
+                sx=("x", "sum"), sy=("y", "sum"), sxy=("xy", "sum"),
+                sxx=("xx", "sum"), syy=("yy", "sum"),
+            )
+            .reset_index()
+        )
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    partials = ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+    agg = partials.groupby("lang").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("sx", alias_name="sx"), Sum("sy", alias_name="sy"),
+        Sum("sxy", alias_name="sxy"),
+        Sum("sxx", alias_name="sxx"), Sum("syy", alias_name="syy"),
+    )
+
+    def finalize(batch: pd.DataFrame) -> pd.DataFrame:
+        n = batch["n_docs"].to_numpy().astype(np.float64)
+        sx = batch["sx"].to_numpy().astype(np.float64)
+        sy = batch["sy"].to_numpy().astype(np.float64)
+        sxy = batch["sxy"].to_numpy().astype(np.float64)
+        sxx = batch["sxx"].to_numpy().astype(np.float64)
+        syy = batch["syy"].to_numpy().astype(np.float64)
+        # EXACT mirror of the oracle tree:
+        # (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy))
+        batch["corr_chars_spaces"] = (n * sxy - sx * sy) / np.sqrt(
+            (n * sxx - sx * sx) * (n * syy - sy * sy)
+        )
+        return batch[["lang", "n_docs", "corr_chars_spaces"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
