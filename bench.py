@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "weighted_sample",
     "doc_stats_by_lang",
     "chars_histogram",
+    "corr_by_lang",
 ]
 
 
