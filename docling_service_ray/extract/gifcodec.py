@@ -194,6 +194,14 @@ def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
         seq = bytes([b])
     if seq:
         emit(table[seq], width)
+        # a conforming decoder adds a table entry for this final code and
+        # widens at the same boundary the loop does — END must be emitted
+        # at the width the DECODER is reading, or a byte-aligned stream
+        # truncates one code short on strict decoders
+        if next_code < 4096:
+            if next_code == (1 << width) and width < 12:
+                width += 1
+            next_code += 1
     emit(end, width)
     if nbits:
         out.append(bitbuf & 0xFF)

@@ -79,9 +79,11 @@ def sampled_quantile_boundaries(ds, col: str, n_parts: int,
         take = max(1, int(len(x) * rate)) if len(x) else 0
         if take >= len(x):
             return t.select([col])
-        rng = np.random.default_rng(
-            stable_seed("qboundaries", len(x), int(hash(str(x[0]))) & 0xFFFF)
-        )
+        # Seed from STABLE block content (blake2b inside stable_seed) —
+        # never builtin hash(), which is salted per process and would make
+        # the sample differ across runs/workers. First+last value plus
+        # length decorrelates blocks that merely share a prefix.
+        rng = stable_seed("qboundaries", len(x), str(x[0]), str(x[-1]))
         idx = rng.choice(len(x), take, replace=False)
         return pa.table({col: pa.array(np.sort(x[idx]))})
 

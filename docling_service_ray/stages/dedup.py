@@ -456,10 +456,19 @@ def _empty_pairs(id_type: pa.DataType) -> pa.Table:
     )
 
 
+#: Cap on the candidate-pair table the verify plan may collect to the
+#: driver. 10M pairs of two ids is ~hundreds of MB in pandas — already
+#: generous; a well-tuned LSH on any corpus size stays orders of
+#: magnitude below it (candidates are a sliver of the corpus by
+#: construction). Mirrors dense_lookup_array_ref's ``max_bytes``.
+MAX_CANDIDATE_PAIRS = 10_000_000
+
+
 def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
                              id_col: str = "doc_id", text_col: str = "text",
                              n_buckets: int = 64, prep_fn=None, score_fn=None,
-                             id_type: pa.DataType | None = None):
+                             id_type: pa.DataType | None = None,
+                             max_pairs: int = MAX_CANDIDATE_PAIRS):
     """Candidate (a, b) pairs -> verified (a, b, jaccard_pct), fully
     distributed (the 100 TB verify plan):
 
@@ -515,14 +524,26 @@ def verify_pairs_distributed(cand, text_ds, sim_fn, threshold: float, *,
     # computed locally instead of spending two more whole-pipeline
     # executions (materialize + a separate needs collect), and the
     # corpus text still never touches the driver.
-    pairs_df = (
-        cand.map_batches(
-            lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
-            batch_format="pandas",
-        )
-        .to_pandas()
-        .drop_duplicates(["a", "b"])
+    deduped_cand = cand.map_batches(
+        lambda df: table_from_pandas(df.drop_duplicates(["a", "b"])),
+        batch_format="pandas",
     )
+    try:
+        # ``limit=`` makes Ray count rows against the cap BEFORE building
+        # the driver-side frame — a mis-tuned LSH threshold (adversarial
+        # fan-out) fails loudly instead of OOMing the driver.
+        pairs_df = deduped_cand.to_pandas(limit=max_pairs)
+    except ValueError as e:
+        raise ValueError(
+            f"verify_pairs_distributed: candidate-pair table exceeds "
+            f"max_pairs={max_pairs}. The verify plan's driver contract is "
+            "O(candidate pairs); this fan-out means the LSH banding is "
+            "mis-tuned for the corpus — raise the similarity threshold, "
+            "use fewer bands / longer band width (fewer, more selective "
+            "buckets), or pre-shard the corpus and dedup shards "
+            "independently before a cross-shard pass."
+        ) from e
+    pairs_df = pairs_df.drop_duplicates(["a", "b"])
     if len(pairs_df) == 0:
         return rd.from_arrow(_empty_pairs(id_type))
 

@@ -327,3 +327,33 @@ def test_edit_distance_pairs_guard(ray_session):
         dd.MAX_EXACT_EDIT_ROWS = old
     out = dd.edit_distance_pairs(ds, max_dist=1).to_pandas()
     assert out[["a", "b", "dist"]].values.tolist() == [[1, 2, 1]]
+
+
+def test_verify_pairs_max_pairs_guard(ray_session):
+    """A mis-tuned LSH (adversarial candidate fan-out) must raise loudly
+    at the driver collect instead of silently materializing — the
+    max_pairs mirror of dense_lookup_array_ref's max_bytes."""
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import verify_pairs_distributed
+
+    texts = rd.from_items(
+        [{"doc_id": i, "text": f"document number {i} body"} for i in range(40)]
+    )
+    # 30*29/2 = 435 candidate pairs > max_pairs=100
+    cand = rd.from_items(
+        [{"a": a, "b": b} for a in range(30) for b in range(a + 1, 30)]
+    )
+    with pytest.raises(ValueError, match="max_pairs"):
+        verify_pairs_distributed(
+            cand, texts, lambda x, y: 1.0, 0.5, max_pairs=100,
+        )
+
+
+def test_verify_pairs_guard_passes_under_cap(docs_ds):
+    """The guard is inert for a sane candidate volume: same pairs found."""
+    from docling_service_ray.stages.dedup import minhash_lsh_pairs
+
+    ds, _ = docs_ds
+    pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    assert (0, 1) in set(zip(pairs["a"], pairs["b"]))

@@ -91,3 +91,52 @@ def test_gif_fixture_matches_formula():
         assert out["width"][i].as_py() == w
         assert out["height"][i].as_py() == h
         assert out["pixel_sum"][i].as_py() == expect
+
+
+def test_lzw_end_code_width_at_boundary():
+    """Strict decoders widen BEFORE reading END when the final data code
+    lands exactly on a code-width boundary — the encoder must emit END at
+    the widened width. Scanning lengths guarantees several streams end
+    exactly on a boundary (regression for the END-width fix)."""
+    from docling_service_ray.extract.gifcodec import (
+        _BitReader,
+        _lzw_encode,
+    )
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 4, size=600).astype(np.uint8)
+    mcs = 2
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    for n in range(1, 601):
+        idx = base[:n]
+        data = _lzw_encode(idx.reshape(1, -1), mcs)
+        # strict decoder: follows the spec width bumps and REQUIRES a
+        # well-formed END code (unlike the module decoder, which stops
+        # at pixel count)
+        reader = _BitReader(data)
+        table = {i: bytes([i]) for i in range(clear)}
+        width, next_code, prev = mcs + 1, end + 1, None
+        out = bytearray()
+        while True:
+            code = reader.read(width)
+            if code == clear:
+                table = {i: bytes([i]) for i in range(clear)}
+                width, next_code, prev = mcs + 1, end + 1, None
+                continue
+            if code == end:
+                break
+            if prev is None or code in table:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]
+            else:
+                raise AssertionError(
+                    f"invalid code {code} at n={n} (END-width bug)")
+            out += entry
+            if prev is not None and next_code < 4096:
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = entry
+        assert bytes(out) == idx.tobytes(), f"pixel mismatch at n={n}"

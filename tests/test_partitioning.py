@@ -78,6 +78,42 @@ def test_exact_boundaries_guard_raises(ray_session):
         exact_quantile_boundaries(ds, "v", 4, max_distinct=100)
 
 
+def test_sampled_boundaries_deterministic_across_processes(tmp_path):
+    """Two FRESH interpreters (forced-different PYTHONHASHSEED, so any
+    builtin-hash() leak in the seeding would diverge) must produce
+    byte-identical boundaries on the same block layout."""
+    import json
+    import subprocess
+    import sys
+
+    script = r"""
+import json, sys
+import numpy as np, pandas as pd, ray
+import ray.data as rd
+from docling_service_ray.functions.partitioning import (
+    sampled_quantile_boundaries)
+ray.init(address="local", num_cpus=2, include_dashboard=False,
+         ignore_reinit_error=True, logging_level="ERROR")
+rng = np.random.default_rng(7)
+ds = rd.from_pandas(pd.DataFrame({"v": rng.normal(0, 1, 20000)}))
+ds = ds.repartition(8)
+b = sampled_quantile_boundaries(ds, "v", 4, sample_k=2048)
+print("BOUNDS=" + json.dumps([float(x) for x in b]))
+ray.shutdown()
+"""
+    outs = []
+    for seed in ("1", "31337"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, RAY_ADDRESS="")
+        r = subprocess.run([sys.executable, "-c", script], env=env,
+                           capture_output=True, text=True, timeout=300,
+                           cwd="/root/repo")
+        assert r.returncode == 0, r.stderr[-2000:]
+        line = [l for l in r.stdout.splitlines() if l.startswith("BOUNDS=")]
+        assert line, r.stdout
+        outs.append(json.loads(line[0][len("BOUNDS="):]))
+    assert outs[0] == outs[1]
+
+
 def test_sampled_boundaries_balance(ray_session):
     import numpy as np
     import ray.data as rd
