@@ -63,66 +63,60 @@ def _registry() -> tuple[dict, dict]:
     flagship = ("extract_turns", "extract_meta", "stitch_convs",
                 "multimodal_features", "curation_pipeline")
     recall = ("neardup_recall", "ann_ivf_recall", "embedding_lsh_recall")
-    # Round-4 rotation: the 10 queries the round-3 judge named
-    # (canonical_refs, orders_by_nation, token_counts, hourly_windows,
-    # chars_percentiles, event_gaps, hash_sample_k, chars_histogram,
-    # weighted_sample, stratified_sample) are promoted INTO the window;
-    # 10 round-3-proven rows whose mechanism stays represented give up
-    # their slots. Every arrow below names a query that is IN-window
-    # this round.
-    demoted = ("set_intersect",        # set ops -> set_union
-               "set_except",           # set ops -> set_union
+    # Round-5 rotation (VERDICT r04 Next-round #2): the 13 mechanisms that
+    # had never received a driver-produced strict row (wav_meta, gif_meta,
+    # order_neighbors, rolling_rank_revenue, revenue_cube,
+    # full_outer_activity, term_postings, bag_intersect, bag_except,
+    # schema_union, edit_distance_pairs, q5_region_revenue,
+    # multimodal_meta) are promoted INTO the window; 13 rows strict-green
+    # in CORRECTNESS_r04 give up their slots. Every arrow below names a
+    # query that is IN-window this round.
+    demoted = ("set_intersect",        # set ops -> bag_intersect
+               "set_except",           # set ops -> bag_except
+               "set_union",            # count-partial set ops -> schema_union
                "chars_by_source",      # grouped sum -> doc_stats_by_lang
                "distinct_token_count", # vocab pre-agg -> frequent_tokens
                "sample_10pct",         # bernoulli sample -> stratified_sample
                "sliding_windows",      # time windows -> hourly_windows
                "retention_filter",     # vectorized predicate -> validate_filter
                "top_recent",           # sort+limit -> q3_revenue
-               "dedup_actions",        # first-wins actions -> dedup_exact
+               "dedup_actions",        # first-wins actions -> incremental_dedup
+               "dedup_exact",          # first-wins dedup -> incremental_dedup
+                                       # (superset: exact dedup + manifest join)
                "count_by_event_type",  # per-type counts -> event_type_pivot
                "char_classes",         # char-class regexes -> quality_scores
-               "fingerprints",         # md5 content hash -> hash_sample_k
+               "fingerprints",         # md5 content hash -> incremental_dedup
                "global_shuffle",       # seeded reorder -> stratified_sample
                "regex_key_filter",     # vectorized regex filter -> pii_scrub
-               "token_rarity",         # two-pass vocab join -> tfidf_topk
-               "top3_orders_per_customer",  # grouped topk -> tfidf_topk
+               "token_rarity",         # two-pass vocab join -> term_postings
+               "tfidf_topk",           # word-keyed agg + join -> term_postings
+               "top3_orders_per_customer",  # grouped topk -> frequent_tokens
                "distinct_lang_source", # distinct pairs -> frequent_tokens
-               "session_ids",          # sessionize bucket -> event_gaps
+               "session_ids",          # sessionize bucket -> order_neighbors
                "above_median_docs",    # quantile cutoff -> chars_percentiles
-               # round-4 demotions (all strict-green in CORRECTNESS_r03):
                "embedding_nn",         # broadcast-query matmul -> ann_topk
                "value_zscores",        # exact-int moment partials -> doc_stats_by_lang
                "session_windows",      # session windows -> hourly_windows
                "grouped_percentiles",  # percentile hist -> chars_percentiles
                "per_lang_sample",      # per-group sampling -> stratified_sample
                "repetition_ratio",     # map-only doc scoring -> quality_scores
-               "bpe_token_counts",     # token counting -> token_counts
+               "bpe_token_counts",     # token counting -> langid
+               "token_counts",         # token counting -> quality_scores
                "range_partition_docs", # quantile boundaries -> chars_percentiles
                "langs_per_source",     # two-level agg -> frequent_tokens
                "token_histogram",      # bincount partials -> chars_histogram
-               "multimodal_meta",      # fake-codec roundtrip -> png_meta
-                                       # (REAL stdlib-zlib PNG decode)
-               # round-4 NEW operators, registered demoted (their
-               # mechanism siblings hold the strict driver rows):
-               "rolling_rank_revenue", # rolling/rank kinds -> running_revenue
-               "revenue_cube",         # grouping sets -> revenue_rollup
-               "full_outer_activity",  # full-outer join -> customer_order_stats
-               "term_postings",        # ordered list agg -> tfidf_topk
-               "wav_meta",             # real RIFF/PCM decode -> png_meta
-                                       # (same real-codec roundtrip shape)
-               "edit_distance_pairs",  # exact pair verify -> dedup_exact
-                                       # (LSH members hold the dedup rows)
-               "gif_meta",             # real LZW decode -> png_meta
-               "order_neighbors",      # lead/first/last/pct window kinds
-                                       # -> running_revenue
-               "bag_intersect",        # multiset set ops -> set_union
-               "bag_except",           # multiset set ops -> set_union
-               "schema_union",         # union-by-name -> set_union
-               # yields its slot to corr_by_lang (NEW cross-moment
-               # mechanism, no prior driver row); broadcast dim-join +
-               # agg stays represented by revenue_rollup and
-               # orders_by_nation, both in-window:
-               "q5_region_revenue")
+               # round-5 demotions (all strict-green in CORRECTNESS_r04;
+               # each mechanism stays represented by the named sibling):
+               "canonical_refs",       # ref canonicalization -> rewrite_refs
+                                       # (superset: canonicalize+join+rewrite)
+               "orders_by_nation",     # broadcast dim join -> q5_region_revenue
+               "running_revenue",      # row_number/cumsum -> rolling_rank_revenue
+               "event_gaps",           # lag/diff windows -> order_neighbors
+               "customer_order_stats", # left join + agg -> full_outer_activity
+               "revenue_rollup",       # grouping sets -> revenue_cube
+               "png_meta",             # real-codec roundtrip -> gif_meta/wav_meta
+               "hash_sample_k",        # hash top-k sample -> stratified_sample
+               "weighted_sample")      # weighted sample -> stratified_sample
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

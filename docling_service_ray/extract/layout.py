@@ -64,10 +64,12 @@ def extract_layout(src: str):
         pos += 1
     body = src[pos:]
     offset = pos
+    zone_top = PAGE_H * ZONE_FRAC
+    zone_bot = PAGE_H * (1.0 - ZONE_FRAC)
     for line in body.split("\n"):
         start = offset
         offset += len(line) + 1
-        if not line.strip():
+        if not line or line.isspace():
             continue
         parts = line.split("|", 3)
         if len(parts) != 4:
@@ -80,12 +82,13 @@ def extract_layout(src: str):
         except ValueError:
             n_stripped += 1
             continue
-        txt = _WS_RE.sub(" ", parts[3]).strip()
+        # byte-identical to _WS_RE.sub(" ", .).strip() but C-level (hot)
+        txt = " ".join(parts[3].split())
         if len(txt) < MIN_FRAG_CHARS:
             n_stripped += 1
             continue
         # header/footer zone (top/bottom 5% of page height)
-        if y <= PAGE_H * ZONE_FRAC or y >= PAGE_H * (1.0 - ZONE_FRAC):
+        if y <= zone_top or y >= zone_bot:
             n_stripped += 1
             continue
         text_start = start + len(parts[0]) + len(parts[1]) + len(parts[2]) + 3

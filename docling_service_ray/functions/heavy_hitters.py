@@ -92,3 +92,82 @@ def recount_batch(texts: pd.Series, candidates: set) -> pd.DataFrame:
     return pd.DataFrame(
         {"word": vc.index.astype(str), "cnt": vc.to_numpy().astype("int64")}
     )
+
+
+def key_summary_batch(keys: pd.Series, capacity: int) -> pd.DataFrame:
+    """One batch of KEY VALUES (any dtype) -> truncated summary rows (keys
+    stringified into the "w" namespace) + the sentinel row with the exact
+    batch row count."""
+    s = keys.dropna().astype(str)
+    vc = truncate_counts(s.value_counts(), capacity)
+    out = pd.DataFrame(
+        {"word": _WORD_PREFIX + vc.index.astype(str),
+         "est": vc.to_numpy().astype("int64")}
+    )
+    total = pd.DataFrame({"word": [TOTAL_SENTINEL], "est": [int(len(s))]})
+    return pd.concat([out, total], ignore_index=True)
+
+
+def detect_hot_keys(ds, key: str, *, phi_inv: int = 100,
+                    capacity: int | None = None,
+                    batch_size: int = 65536) -> list:
+    """EXACT hot keys of a Dataset column: values whose global frequency is
+    >= N/phi_inv (N = non-null rows). The auto-detection pass the salted
+    plans (functions/joins.py skew_salted_join, functions/window.py
+    salted_partitioned_window) document as their ``hot_keys`` source.
+
+    Two streaming passes, never holding the key domain:
+
+    1. Misra-Gries summary per batch (capacity rows max) -> one small
+       groupby -> candidate set with GUARANTEED recall (any key with true
+       count >= N/phi_inv survives when capacity >= 2*phi_inv; default 4x);
+    2. exact recount of candidates only (original dtype preserved), so the
+       result is exact — over-selection in pass 1 self-corrects.
+
+    Returns key VALUES in the column's dtype, hottest first (count desc,
+    value asc). Driver holds <= ~phi_inv * 4/3 candidates, never the key
+    domain.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    if capacity is None:
+        capacity = 4 * phi_inv
+    if capacity < 2 * phi_inv:
+        raise ValueError(
+            f"capacity {capacity} < 2*phi_inv: recall guarantee void"
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return key_summary_batch(batch[key], capacity)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("word")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()  # sketch-cardinality (<= ~capacity words + sentinel)
+    )
+    candidates, total = select_candidates(merged, phi_inv, capacity)
+    if not candidates or total == 0:
+        return []
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        k = batch[key].dropna()
+        hits = k[k.astype(str).isin(ray.get(cand_ref))]
+        vc = hits.value_counts()
+        return pd.DataFrame(
+            {"k": vc.index, "cnt": vc.to_numpy().astype("int64")}
+        )
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas", batch_size=batch_size)
+        .groupby("k")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()  # <= |candidates| rows
+    )
+    if exact.empty:
+        return []
+    keep = exact[exact["cnt"].to_numpy() * phi_inv >= total]
+    keep = keep.sort_values(["cnt", "k"], ascending=[False, True])
+    return keep["k"].tolist()

@@ -38,12 +38,16 @@ def read_transcripts(sf_dir: str, columns=None):
 
 
 def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256,
-                     columns=None, mode: str = "actors"):
+                     columns=None, mode: str = "actors", outputs=None,
+                     project=None):
     """Per-turn extraction Dataset: input columns + extracted_text, spans,
-    stats, ok, error, extractor_path."""
+    stats, ok, error, extractor_path (``outputs`` prunes the appended
+    extraction columns, ``project`` the final emitted columns —
+    projection pushdown into the UDF)."""
     ds = read_transcripts(sf_dir, columns=columns)
     return apply_extract(
-        ds, concurrency=concurrency, batch_size=batch_size, mode=mode
+        ds, concurrency=concurrency, batch_size=batch_size, mode=mode,
+        outputs=outputs, project=project,
     )
 
 
@@ -63,6 +67,11 @@ def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 1024):
             batch_size=batch_size,
             columns=["conv_id", "turn_idx", "role", "text"],
             mode="tasks",
+            # stitch consumes only text+ok: skip span/stats/table/position
+            # assembly and keep those bytes (and the raw input text) out
+            # of the ordering shuffle
+            outputs=["extracted_text", "ok"],
+            project=["conv_id", "turn_idx", "role", "extracted_text", "ok"],
         )
     )
 

@@ -65,14 +65,39 @@ OUTPUT_FIELDS = [
 ]
 
 
-def extract_batch(batch: pa.Table) -> pa.Table:
+OUTPUT_NAMES = tuple(name for name, _ in OUTPUT_FIELDS)
+
+
+def extract_batch(batch: pa.Table, outputs=None, project=None) -> pa.Table:
     """Pure function form: append extraction columns to an Arrow batch.
 
     Extraction itself is per-string Python (a parser can't be a SIMD
     kernel), but all column assembly is Arrow and the input batch is
     zero-copy.
+
+    ``outputs`` prunes the appended columns (projection pushdown INTO the
+    UDF): a consumer that only keeps ``extracted_text`` shouldn't pay the
+    per-row span-dict / stats-struct assembly or ship those bytes through
+    the object store. None = all of :data:`OUTPUT_NAMES`; output schema
+    order always follows OUTPUT_FIELDS regardless of request order.
+
+    ``project`` selects the FINAL emitted columns (input + appended), so
+    consumed input columns (the raw ``text``) can be dropped inside the
+    UDF instead of riding the object store to a downstream Project — at
+    sf0.1 the raw text is ~half the extract operator's output bytes.
     """
+    if outputs is None:
+        want = frozenset(OUTPUT_NAMES)
+    else:
+        want = frozenset(outputs)
+        unknown = want.difference(OUTPUT_NAMES)
+        if unknown:
+            raise ValueError(f"unknown extract outputs: {sorted(unknown)}")
     texts = batch.column("text")
+    want_spans = "spans" in want
+    want_stats = "stats" in want
+    want_tables = "tables" in want
+    want_positions = "positions" in want
     out_text: list[str] = []
     spans: list[list] = []
     stats: list[dict] = []
@@ -84,35 +109,42 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     for v in texts:
         r = extract_turn(v.as_py())
         out_text.append(r.extracted_text)
-        spans.append(
-            [{"start": s, "end": e, "kind": k} for (s, e, k) in r.spans]
-        )
-        stats.append(
-            {
-                "n_blocks": r.n_blocks,
-                "n_stripped": r.n_stripped,
-                "n_chars_in": r.n_chars_in,
-                "n_chars_out": r.n_chars_out,
-            }
-        )
-        tables.append(r.tables)
-        positions.append(r.positions)
+        if want_spans:
+            spans.append(
+                [{"start": s, "end": e, "kind": k} for (s, e, k) in r.spans]
+            )
+        if want_stats:
+            stats.append(
+                {
+                    "n_blocks": r.n_blocks,
+                    "n_stripped": r.n_stripped,
+                    "n_chars_in": r.n_chars_in,
+                    "n_chars_out": r.n_chars_out,
+                }
+            )
+        if want_tables:
+            tables.append(r.tables)
+        if want_positions:
+            positions.append(r.positions)
         oks.append(r.ok)
         errors.append(r.error)
         paths.append(r.extractor_path)
 
-    arrays = [
-        pa.array(out_text, pa.large_string()),
-        pa.array(spans, SPAN_TYPE),
-        pa.array(stats, STATS_TYPE),
-        pa.array(tables, TABLES_TYPE),
-        pa.array(positions, POSITIONS_TYPE),
-        pa.array(oks, pa.bool_()),
-        pa.array(errors, pa.string()),
-        pa.array(paths, pa.string()),
-    ]
-    for (name, _), arr in zip(OUTPUT_FIELDS, arrays):
-        batch = batch.append_column(name, arr)
+    builders = {
+        "extracted_text": lambda: pa.array(out_text, pa.large_string()),
+        "spans": lambda: pa.array(spans, SPAN_TYPE),
+        "stats": lambda: pa.array(stats, STATS_TYPE),
+        "tables": lambda: pa.array(tables, TABLES_TYPE),
+        "positions": lambda: pa.array(positions, POSITIONS_TYPE),
+        "ok": lambda: pa.array(oks, pa.bool_()),
+        "error": lambda: pa.array(errors, pa.string()),
+        "extractor_path": lambda: pa.array(paths, pa.string()),
+    }
+    for name in OUTPUT_NAMES:
+        if name in want:
+            batch = batch.append_column(name, builders[name]())
+    if project is not None:
+        batch = batch.select(list(project))
     return batch
 
 
@@ -121,19 +153,24 @@ class ExtractTurns:
     tables) lives at module import inside each actor process; ``__init__``
     touches it once so the first batch pays no warmup."""
 
-    def __init__(self):
+    def __init__(self, outputs=None, project=None):
+        self._outputs = tuple(outputs) if outputs is not None else None
+        self._project = tuple(project) if project is not None else None
         # warm the extractor code path once per actor
         extract_turn("<html><body><p>warmup paragraph text</p></body></html>")
         extract_turn("%%LAYOUT%%\n1|72.0|100.0|warmup fragment line")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return extract_batch(batch)
+        return extract_batch(
+            batch, outputs=self._outputs, project=self._project
+        )
 
 
 def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
                          num_cpus: float = 1, num_gpus: float | None = None,
                          resources: dict | None = None,
-                         mode: str = "actors") -> dict:
+                         mode: str = "actors",
+                         outputs=None, project=None) -> dict:
     """map_batches kwargs for the extraction stage (exposed for unit tests
     and for cluster placement without running the stage).
 
@@ -157,8 +194,15 @@ def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
         batch_size=batch_size,
         num_cpus=num_cpus,
     )
+    fn_extra: dict = {}
+    if outputs is not None:
+        fn_extra["outputs"] = tuple(outputs)
+    if project is not None:
+        fn_extra["project"] = tuple(project)
     if mode == "tasks":
         kwargs["fn"] = extract_batch
+        if fn_extra:
+            kwargs["fn_kwargs"] = fn_extra
         # an explicit cap applies to task pools too (map_batches accepts
         # concurrency for tasks); only the actor-pool DEFAULT sizing below
         # is actor-specific
@@ -166,6 +210,8 @@ def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
             kwargs["concurrency"] = concurrency
     else:
         kwargs["fn"] = ExtractTurns
+        if fn_extra:
+            kwargs["fn_constructor_kwargs"] = fn_extra
         if concurrency is None:
             try:
                 import ray
@@ -195,16 +241,20 @@ def build_extract_kwargs(*, concurrency=None, batch_size: int = 256,
 
 def apply_extract(ds, *, concurrency=None, batch_size: int = 256,
                   num_cpus: float = 1, num_gpus: float | None = None,
-                  resources: dict | None = None, mode: str = "actors"):
+                  resources: dict | None = None, mode: str = "actors",
+                  outputs=None, project=None):
     """Attach the extraction stage to a Dataset (see build_extract_kwargs
-    for the mode/resource semantics).
+    for the mode/resource semantics; ``outputs`` prunes appended columns
+    and ``project`` selects the final emitted columns, see
+    :func:`extract_batch`).
 
     ``batch_size`` is deliberately small because turn texts average a few
     KiB but include ~1 MB outliers (SURVEY.md §7.4 "very wide rows").
     """
     kwargs = build_extract_kwargs(
         concurrency=concurrency, batch_size=batch_size, num_cpus=num_cpus,
-        num_gpus=num_gpus, resources=resources, mode=mode,
+        num_gpus=num_gpus, resources=resources, mode=mode, outputs=outputs,
+        project=project,
     )
     fn = kwargs.pop("fn")
     return ds.map_batches(fn, **kwargs)

@@ -193,3 +193,39 @@ def test_layout_normalized_positions():
         {"page": 2, "x_norm": round(200.0 / 612.0, 4), "y_norm": round(400.0 / 792.0, 4)},
     ]
     assert r.tables == []
+
+
+def test_extract_batch_output_pruning():
+    import pyarrow as pa
+    import pytest
+
+    from docling_service_ray.stages.extract_stage import (
+        OUTPUT_NAMES,
+        extract_batch,
+    )
+
+    batch = pa.table(
+        {
+            "conv_id": ["c1", "c1", "c2"],
+            "text": [
+                "<html><body><p>hello world text</p></body></html>",
+                "%%LAYOUT%%\n1|72.0|100.0|fragment line text",
+                "plain paragraph line",
+            ],
+        }
+    )
+    full = extract_batch(batch)
+    assert list(full.column_names) == ["conv_id", "text", *OUTPUT_NAMES]
+
+    pruned = extract_batch(batch, outputs=["ok", "extracted_text"])
+    # schema order follows OUTPUT_FIELDS regardless of request order
+    assert list(pruned.column_names) == [
+        "conv_id", "text", "extracted_text", "ok"
+    ]
+    assert pruned.column("extracted_text").equals(
+        full.column("extracted_text")
+    )
+    assert pruned.column("ok").equals(full.column("ok"))
+
+    with pytest.raises(ValueError, match="unknown extract outputs"):
+        extract_batch(batch, outputs=["extracted_text", "nope"])

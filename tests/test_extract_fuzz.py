@@ -100,3 +100,51 @@ def test_fast_parser_equals_stdlib_on_fixture_corpus():
                 a, b = _parse_both(src, strict)
                 assert a == b, (conv, turn, strict)
     assert n_html > 100  # the sweep actually exercised HTML turns
+
+# corner cases of the fast-path tag regexes (_SIMPLE_START/_SIMPLE_END):
+# every construct either claimed by the fast path or deliberately refused
+# into the slow path must produce the stdlib tree
+_FAST_PATH_CASES = [
+    "<p>x</p>", "<p >x</ p >", "<br/>", "<br />", "<BR/>", "<P>x</P>",
+    '<a href="u">x</a>', "<a href='u'>x</a>", "<a href=u>x</a>",
+    '<a href="a>b">x</a>', "<a href='a>b'>x</a>",   # '>' inside quotes
+    '<a href="a<b">x</a>',                            # '<' inside quotes
+    "<a href=foo/>x</a>",       # unquoted value ending in '/' then '>'
+    "<a x>y</a>", "<a x/>", "<a x />", "<a x=1 y=2>z</a>",
+    "<a b==c>x</a>", "<a =b>x</a>", "<a b = >x</a>",  # refused -> slow path
+    '<a b="x"c>y</a>',          # no space between attrs (stdlib-only)
+    "<a b/ c>x</a>", "<a <>x", "<a b<c>x",
+    "<input type=text value=>",
+    "<script>var a = '</div>' + 1;</script><p>after</p>",
+    "<script>x</SCRIPT><p>y</p>", "<script/><p>y</p>",
+    "<style>p { color: red }</style><p>y</p>",
+    "<script>unterminated",
+    "<pre>  keep   ws  </pre>", "<p>a&amp;b</p>", "<p>a&#65;b</p>",
+    "<div a='1' b=\"2\" c>t</div>", "<em>x</em  >", "</p>", "</ p>", "</>",
+    "<p", "<p x", "<p x=", '<p x="', "<p x='y", "<p/", "<p /",
+    "<div\tx='1'\ny='2'>t</div>",
+]
+
+
+def test_fast_path_tag_grammar_corner_cases():
+    for src in _FAST_PATH_CASES:
+        for strict in (False, True):
+            a, b = _parse_both(src, strict)
+            assert a == b, (src, strict, a, b)
+
+
+_attr_soup = st.lists(
+    st.sampled_from(
+        ["<a", "<p", "<div", " href", " x", "='u'", '="v"', "=w", "=",
+         ">", "/>", " ", "\t", "</a>", "</p>", "text", "'", '"', "/",
+         "<script>", "</script>", "&", ";"]
+    ),
+    max_size=30,
+).map("".join)
+
+
+@given(_attr_soup)
+@settings(max_examples=400, deadline=None)
+def test_fast_parser_equals_stdlib_attr_soup(text):
+    a, b = _parse_both(text, strict=False)
+    assert a == b
