@@ -105,6 +105,10 @@ def _registry() -> tuple[dict, dict]:
                "range_partition_docs", # quantile boundaries -> chars_percentiles
                "langs_per_source",     # two-level agg -> frequent_tokens
                "token_histogram",      # bincount partials -> chars_histogram
+               "langid",               # map-only doc scoring -> quality_scores
+                                       # (yields its slot to
+                                       # auto_salted_segment_value — NEW
+                                       # auto-hot-key detection mechanism)
                # round-5 demotions (all strict-green in CORRECTNESS_r04;
                # each mechanism stays represented by the named sibling):
                "canonical_refs",       # ref canonicalization -> rewrite_refs

@@ -1641,6 +1641,68 @@ def salted_join_priority(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Auto-detected skew salting: the hot-key PROFILING pass
+# (functions/heavy_hitters.py detect_hot_keys — Misra-Gries summary +
+# exact recount) feeds skew_salted_join's hot_keys directly, so a
+# power-law key distribution needs no hand-tuned hot list. Join output is
+# invariant to the detected set (salting only changes placement), so the
+# oracle is the plain SQL join; at the driver's sf0.01 the detection pass
+# genuinely finds hot users (150 users over 10k events).
+# ---------------------------------------------------------------------------
+@register(
+    "auto_salted_segment_value",
+    "SELECT c_mktsegment, COUNT(*) AS n_events, "
+    "CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS value_cents "
+    "FROM events e JOIN customer c ON e.user_id = c.c_custkey "
+    "GROUP BY c_mktsegment",
+)
+def auto_salted_segment_value(sf_dir: str):
+    from ray.data.aggregate import Sum
+
+    from ..functions.heavy_hitters import detect_hot_keys
+    from ..functions.joins import skew_salted_join
+
+    ev = read_table(sf_dir, "events", columns=["user_id", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"c_custkey": batch["user_id"],
+                         "value_cents": to_cents(batch["value"])})
+
+    big = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+    # AUTO path: users holding >= 0.5% of all events are hot. Detection is
+    # exact (guaranteed recall + recount), returns values in key dtype.
+    hot = detect_hot_keys(big, "c_custkey", phi_inv=200)
+    small = read_table(sf_dir, "customer",
+                       columns=["c_custkey", "c_mktsegment"])
+    joined = skew_salted_join(
+        big, small, "c_custkey", hot_keys=set(hot), n_salt=4,
+        bschema=pa.schema([("c_custkey", pa.int64()),
+                           ("value_cents", pa.int64())]),
+        sschema=pa.schema([("c_custkey", pa.int64()),
+                           ("c_mktsegment", pa.string())]),
+    )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            batch.groupby("c_mktsegment", sort=False)
+            .agg(n_events=("value_cents", "size"),
+                 value_cents=("value_cents", "sum"))
+            .reset_index()
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        out["value_cents"] = out["value_cents"].astype("int64")
+        return out
+
+    return (
+        joined.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("c_mktsegment")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("value_cents", alias_name="value_cents"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # Data profiling: per-column stats in ONE pass. Partials keep each
 # column's min/max TYPED in its own wide column (so aggregation compares
 # natively, never lexicographically); only the final tiny reshape casts

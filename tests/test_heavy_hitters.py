@@ -81,3 +81,80 @@ def test_sentinel_never_collides_with_tokens():
         s.groupby("word", as_index=False)["est"].sum(), 10, 40
     )
     assert total == 7 and "N" in cands and "wN" in cands
+
+
+# ---------------------------------------------------------------------------
+# detect_hot_keys: auto hot-key source for the salted plans
+# ---------------------------------------------------------------------------
+def test_detect_hot_keys_planted_skew_exact(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    from docling_service_ray.functions.heavy_hitters import detect_hot_keys
+
+    rng = np.random.default_rng(11)
+    # planted: key 7 = 5000 rows, key 9 = 1200 rows, 100..200 cold (<=60)
+    keys = np.concatenate([
+        np.full(5000, 7), np.full(1200, 9),
+        rng.integers(100, 200, 3800),
+    ]).astype("int64")
+    ds = ray.data.from_pandas(pd.DataFrame({"k": keys})).repartition(9)
+    n = len(keys)
+    # threshold 10% of N=10000 -> exactly {7, 9}? 9 has 1200 >= 1000 yes
+    hot = detect_hot_keys(ds, "k", phi_inv=10, capacity=64)
+    assert hot == [7, 9]                      # hottest first, exact
+    assert all(isinstance(h, (int, np.integer)) for h in hot)  # dtype kept
+    # tighter threshold: only the mega key survives
+    assert detect_hot_keys(ds, "k", phi_inv=5) == [7]
+    # no key reaches 90%: empty
+    assert detect_hot_keys(ds, "k", phi_inv=1) == []
+
+
+def test_detect_hot_keys_feeds_salted_join_and_beats_unsalted(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from docling_service_ray.functions.hashing import bucket_column
+    from docling_service_ray.functions.heavy_hitters import detect_hot_keys
+    from docling_service_ray.functions.joins import skew_salted_join
+
+    rng = np.random.default_rng(5)
+    keys = np.concatenate([np.full(4000, 7),
+                           rng.integers(100, 200, 1500)]).astype("int64")
+    big_df = pd.DataFrame({"k": keys, "v": np.arange(len(keys), dtype="int64")})
+    small_df = pd.DataFrame({"k": np.arange(0, 220, dtype="int64"),
+                             "label": [f"L{i}" for i in range(220)]})
+    big = ray.data.from_pandas(big_df).repartition(7)
+    small = ray.data.from_pandas(small_df)
+
+    hot = detect_hot_keys(big, "k", phi_inv=4)   # 4000/5500 > 1/4
+    assert hot == [7]
+
+    out = skew_salted_join(
+        big, small, "k", hot_keys=set(hot), n_salt=4,
+        bschema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+        sschema=pa.schema([("k", pa.int64()), ("label", pa.string())]),
+    ).to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    expected = (big_df.merge(small_df, on="k")
+                .sort_values(["k", "v"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(out[["k", "v", "label"]], expected)
+
+    # structural win over the unsalted plan: the hot key's 4000 big-side
+    # rows land in ONE bucket unsalted; salted across 4 salts no
+    # co-location bucket holds more than ~1/4 of them (same (key, salt)
+    # bucket scheme skew_salted_join uses internally)
+    from collections import Counter
+
+    n_buckets = 64
+    hot_rows = big_df[big_df["k"] == 7]
+    t = bucket_column(pa.table({"k": hot_rows["k"].to_numpy()}),
+                      "k", 1 << 30, "__h")
+    h = t["__h"].to_numpy()
+    assert len(set((h % n_buckets).tolist())) == 1   # all in one bucket
+    salts = np.arange(len(hot_rows)) % 4
+    salted = (h + salts * 1000003) % n_buckets
+    worst = max(Counter(salted.tolist()).values())
+    assert worst <= len(hot_rows) / 4 + 1
