@@ -17,7 +17,12 @@ from __future__ import annotations
 import ray.data as rd
 
 from ..stages.extract_stage import apply_extract
-from ..stages.stitch import stitch_conversations
+from ..stages.stitch import (
+    _default_n_buckets,
+    mega_conversation_candidates,
+    stitch_conversations,
+    stitch_conversations_salted,
+)
 from ..transcripts import ensure_transcripts
 
 TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
@@ -51,7 +56,26 @@ def extract_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 256,
     )
 
 
-def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 1024):
+def stitch_route(sf_dir: str, n_buckets: int | None = None
+                 ) -> tuple[str, list[str]]:
+    """Pick the stitch plan for a corpus: ``("salted", megas)`` when any
+    conversation may exceed ~1/2 an average bucket's payload (the SURVEY
+    §7.1 skew contract), else ``("hash", [])``.
+
+    Detection is one streaming pass over a conv_id-only column read —
+    the text never leaves storage — with guaranteed recall; over-selection
+    only switches to the salted plan, whose output is byte-identical
+    (tests/test_pipeline.py::test_stitch_variants_identical).
+    """
+    if n_buckets is None:
+        n_buckets = _default_n_buckets()
+    ids = read_transcripts(sf_dir, columns=["conv_id"])
+    megas = mega_conversation_candidates(ids, n_buckets=n_buckets)
+    return ("salted" if megas else "hash"), megas
+
+
+def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 1024,
+                    route: str = "auto"):
     """One stitched markdown document per conversation.
 
     Extraction runs in TASK mode here: a fixed actor pool would hold its
@@ -59,8 +83,17 @@ def stitch_pipeline(sf_dir: str, *, concurrency=None, batch_size: int = 1024):
     former workaround — materializing the whole extracted corpus before
     the shuffle — is a spill storm at 100 TB. Tasks release slots per
     batch, so extract and shuffle pipeline concurrently with no barrier.
+
+    ``route``: "auto" (default) profiles conversation sizes on a cheap
+    conv_id-only pass (:func:`stitch_route`) and takes the salted
+    two-level stitch when a mega conversation could overflow a bucket
+    task; "hash" / "salted" force a plan (byte-identical outputs).
     """
-    return stitch_conversations(
+    if route == "auto":
+        route, _ = stitch_route(sf_dir)
+    stitcher = (stitch_conversations_salted if route == "salted"
+                else stitch_conversations)
+    return stitcher(
         extract_pipeline(
             sf_dir,
             concurrency=concurrency,

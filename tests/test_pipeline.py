@@ -153,3 +153,52 @@ def test_parallelism_invariance(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_stitch_auto_routes_mega_conversation(ray_session):
+    """Flagship auto-route (VERDICT r04 #7): the sf0.001 fixture plants a
+    mega conversation (conv-0000000, 400 of 7672 turns ~ 5.2% >> the
+    half-bucket threshold), so the conv_id profiling pass must pick the
+    salted plan — and the auto output must be byte-identical to the
+    forced hash-bucket plan."""
+    from docling_service_ray.pipelines.extract_pipeline import (
+        stitch_pipeline,
+        stitch_route,
+    )
+
+    route, megas = stitch_route(SF)
+    assert route == "salted"
+    assert "conv-0000000" in megas
+
+    auto = (
+        stitch_pipeline(SF, route="auto")
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    forced_hash = (
+        stitch_pipeline(SF, route="hash")
+        .to_pandas().sort_values("conv_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(auto, forced_hash)
+
+
+def test_mega_candidates_uniform_corpus_routes_hash(ray_session):
+    """No conversation near the half-bucket threshold -> empty candidate
+    set -> the default hash-bucket stitch; one planted giant flips it,
+    and detection recall is guaranteed (it MUST appear)."""
+    import numpy as np
+    import ray
+
+    from docling_service_ray.stages.stitch import mega_conversation_candidates
+
+    uniform = pd.DataFrame(
+        {"conv_id": np.repeat([f"c{i:04d}" for i in range(200)], 10)}
+    )
+    ds = ray.data.from_pandas(uniform).repartition(5)
+    assert mega_conversation_candidates(ds, n_buckets=64) == []
+
+    planted = pd.concat(
+        [uniform, pd.DataFrame({"conv_id": ["mega"] * 900})],
+        ignore_index=True,
+    )
+    ds2 = ray.data.from_pandas(planted).repartition(5)
+    assert "mega" in mega_conversation_candidates(ds2, n_buckets=64)
