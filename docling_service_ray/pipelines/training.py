@@ -41,12 +41,11 @@ def register(name: str, sql: str | None = None):
     "FROM documents",
 )
 def token_counts(sf_dir: str):
-    from ..stages.text_analysis import token_count_batch
+    from ..stages.text_analysis import token_count_arrow
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(token_count_batch, batch_format="pandas").select_columns(
-        ["doc_id", "n_tokens"]
-    )
+    return ds.map_batches(token_count_arrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @register(
@@ -58,12 +57,11 @@ def token_counts(sf_dir: str):
     "FROM documents",
 )
 def char_classes(sf_dir: str):
-    from ..stages.text_analysis import char_class_batch
+    from ..stages.text_analysis import char_class_arrow
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(char_class_batch, batch_format="pandas").select_columns(
-        ["doc_id", "n_chars_m", "n_spaces", "n_digits", "n_vowels"]
-    )
+    return ds.map_batches(char_class_arrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @register(
@@ -72,12 +70,11 @@ def char_classes(sf_dir: str):
     "FROM documents",
 )
 def fingerprints(sf_dir: str):
-    from ..stages.text_analysis import fingerprint_batch
+    from ..stages.text_analysis import fingerprint_arrow
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(fingerprint_batch, batch_format="pandas").select_columns(
-        ["doc_id", "fp"]
-    )
+    return ds.map_batches(fingerprint_arrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @register(
@@ -109,13 +106,12 @@ def fingerprints(sf_dir: str):
 )
 def quality_scores(sf_dir: str):
     """Composite integer fixed-point quality score (training-data filter
-    feature; vectorized pandas str kernels, bit-exact SQL mirror)."""
-    from ..stages.text_analysis import quality_score_batch
+    feature; zero-copy Arrow RE2 kernels, bit-exact SQL mirror)."""
+    from ..stages.text_analysis import quality_score_arrow
 
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
-    return ds.map_batches(quality_score_batch, batch_format="pandas").select_columns(
-        ["doc_id", "space_pm", "digit_pm", "stopword_pm", "quality_pm"]
-    )
+    return ds.map_batches(quality_score_arrow, batch_format="pyarrow",
+                          zero_copy_batch=True)
 
 
 @register(
@@ -1540,17 +1536,33 @@ def repetition_ratio(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def rep(df: pd.DataFrame) -> pd.DataFrame:
-        ids, pms = [], []
-        for i, t in zip(df["doc_id"], df["text"]):
-            w = str(t).split()
-            nwin = len(w) // 5
-            if nwin == 0:
-                continue
-            wins = {" ".join(w[j * 5:(j + 1) * 5]) for j in range(nwin)}
-            ids.append(i)
-            pms.append((nwin - len(wins)) * 1000 // nwin)
-        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64"),
-                             "rep_pm": pd.array(pms, dtype="int64")})
+        # fully vectorized window dedup: factorize tokens to int codes,
+        # view each disjoint 5-token window as a (doc, c0..c4) int row,
+        # and count distinct rows per doc with ONE np.unique(axis=0) over
+        # the whole batch — no Python loop over docs or windows. A window
+        # of codes equals another iff the joined strings are equal (codes
+        # are injective over tokens and windows have fixed arity), so
+        # this matches the string_agg-based SQL oracle exactly.
+        toks = df["text"].astype(str).str.split()
+        counts = toks.str.len().to_numpy().astype(np.int64)
+        nwin = counts // 5
+        ex = toks.explode()
+        tokens = ex.to_numpy()[ex.notna().to_numpy()]
+        row = np.repeat(np.arange(len(df)), counts)
+        pos = np.arange(counts.sum()) - np.repeat(
+            np.cumsum(counts) - counts, counts
+        )
+        full = pos < np.repeat(nwin * 5, counts)
+        codes = pd.factorize(tokens[full])[0].reshape(-1, 5)
+        wrow = row[full][::5]
+        uniq = np.unique(np.column_stack([wrow, codes]), axis=0)
+        ndist = np.bincount(uniq[:, 0], minlength=len(df))
+        keep = nwin > 0
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy()[keep],
+            "rep_pm": ((nwin[keep] - ndist[keep]) * 1000 // nwin[keep]
+                       ).astype("int64"),
+        })
 
     return ds.map_batches(rep, batch_format="pandas")
 

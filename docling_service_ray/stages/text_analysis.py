@@ -124,6 +124,109 @@ def quality_score_batch(batch: pd.DataFrame, text_col: str = "text") -> pd.DataF
     return out
 
 
+# --- Arrow-native variants (zero-copy hot path) -------------------------------
+#
+# The four map-only document-scoring kernels above are also provided as
+# pyarrow.compute variants operating on Arrow tables directly, so the
+# stage runs zero-copy from the object store with no per-batch pandas
+# conversion. Semantics are IDENTICAL on the engine's contract: the SQL
+# oracles are RE2 (DuckDB), and these kernels use RE2 too
+# (pyarrow.compute), so if anything they hew closer to the oracle than
+# the Python-re pandas forms (the two differ only on non-ASCII
+# whitespace, outside the documented ASCII counting contract).
+# Equivalence on edge inputs is pinned in tests/test_text_analysis.py.
+
+
+def _filled(tbl: pa.Table, text_col: str) -> pa.ChunkedArray:
+    import pyarrow.compute as pc
+
+    return pc.fill_null(tbl[text_col], "")
+
+
+def _token_count_arrow(s) -> pa.Array:
+    """Whitespace token count of a filled string array (int64)."""
+    import pyarrow.compute as pc
+
+    t = pc.utf8_trim_whitespace(s)
+    n = pc.add(pc.count_substring_regex(t, r"\s+"), 1)
+    return pc.cast(pc.if_else(pc.equal(t, ""), 0, n), pa.int64())
+
+
+def token_count_arrow(tbl: pa.Table, text_col: str = "text",
+                      keep: tuple = ("doc_id",)) -> pa.Table:
+    """Arrow-native :func:`token_count_batch` (emits key cols + n_tokens)."""
+    cols = {k: tbl[k] for k in keep}
+    cols["n_tokens"] = _token_count_arrow(_filled(tbl, text_col))
+    return pa.table(cols)
+
+
+def char_class_arrow(tbl: pa.Table, text_col: str = "text",
+                     keep: tuple = ("doc_id",)) -> pa.Table:
+    """Arrow-native :func:`char_class_batch`."""
+    import pyarrow.compute as pc
+
+    s = _filled(tbl, text_col)
+    i64 = lambda a: pc.cast(a, pa.int64())  # noqa: E731
+    cols = {k: tbl[k] for k in keep}
+    cols["n_chars_m"] = i64(pc.utf8_length(s))
+    cols["n_spaces"] = i64(pc.count_substring(s, " "))
+    cols["n_digits"] = i64(pc.count_substring_regex(s, "[0-9]"))
+    cols["n_vowels"] = i64(pc.count_substring_regex(s, "[aeiou]"))
+    return pa.table(cols)
+
+
+def fingerprint_arrow(tbl: pa.Table, text_col: str = "text",
+                      keep: tuple = ("doc_id",)) -> pa.Table:
+    """Arrow-native :func:`fingerprint_batch`: normalization (lower +
+    whitespace collapse) runs as RE2 kernels; only the md5 itself is a
+    Python loop (hashlib has no batch API)."""
+    import pyarrow.compute as pc
+
+    norm = pc.replace_substring_regex(
+        pc.utf8_lower(_filled(tbl, text_col)), r"\s+", " "
+    )
+    fp = [hashlib.md5(t.encode("utf-8")).hexdigest()
+          for t in norm.to_pylist()]
+    cols = {k: tbl[k] for k in keep}
+    cols["fp"] = pa.array(fp, pa.string())
+    return pa.table(cols)
+
+
+def quality_score_arrow(tbl: pa.Table, text_col: str = "text",
+                        keep: tuple = ("doc_id",)) -> pa.Table:
+    """Arrow-native :func:`quality_score_batch`: RE2 counting kernels +
+    int64 numpy arithmetic (all components non-negative, so numpy floor
+    division matches SQL // exactly)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    s = _filled(tbl, text_col)
+    cnt = lambda pat: pc.count_substring_regex(s, pat).to_numpy(  # noqa: E731
+        zero_copy_only=False).astype(np.int64)
+    n_chars = pc.utf8_length(s).to_numpy(zero_copy_only=False).astype(np.int64)
+    denom = np.maximum(n_chars, 1)
+    space_pm = (pc.count_substring(s, " ").to_numpy(zero_copy_only=False)
+                .astype(np.int64) * 1000) // denom
+    digit_pm = (cnt("[0-9]") * 1000) // denom
+    n_tokens = _token_count_arrow(s).to_numpy(zero_copy_only=False)
+    stop_hits = sum(cnt(rf"\b{w}\b") for w in _STOPWORDS)
+    stopword_pm = (stop_hits * 1000) // np.maximum(n_tokens, 1)
+    len_score_pm = ((n_chars >= 100) & (n_chars <= 20000)).astype(np.int64) * 1000
+    quality_pm = np.maximum(
+        np.minimum(space_pm, 200) * 2 + np.minimum(stopword_pm, 250) * 2
+        + len_score_pm - digit_pm,
+        0,
+    )
+    cols = {k: tbl[k] for k in keep}
+    cols.update(
+        space_pm=pa.array(space_pm, pa.int64()),
+        digit_pm=pa.array(digit_pm, pa.int64()),
+        stopword_pm=pa.array(stopword_pm, pa.int64()),
+        quality_pm=pa.array(quality_pm, pa.int64()),
+    )
+    return pa.table(cols)
+
+
 # --- PII-style scrubbing (vectorized redaction) ------------------------------
 
 # dialect-portable patterns (identical semantics in Python re and RE2, so

@@ -91,3 +91,61 @@ def test_pii_scrub():
     ]
     assert out["n_emails"].tolist() == [1, 0, 1]
     assert out["n_numruns"].tolist() == [1, 0, 3]
+
+
+# ---------------------------------------------------------------------------
+# Arrow-native kernel variants must equal the pandas forms on edge inputs
+# (the queries run the Arrow forms; tests + curation keep the pandas ones)
+# ---------------------------------------------------------------------------
+EDGE_TEXTS = [
+    None, "", "   ", "\t\n  x \t", "one two  three", "a" * 5,
+    "the and of to in THE the.", "12 3456 a1b2", "e@x.io 77",
+    " leading", "trailing ", "tab\tsep\nnewline", ".", "word",
+]
+
+
+def _edge_frame():
+    import pandas as pd
+
+    return pd.DataFrame({
+        "doc_id": pd.array(range(len(EDGE_TEXTS)), dtype="int64"),
+        "text": pd.array(EDGE_TEXTS, dtype="object"),
+    })
+
+
+def _edge_table():
+    import pyarrow as pa
+
+    return pa.table({
+        "doc_id": pa.array(range(len(EDGE_TEXTS)), pa.int64()),
+        "text": pa.array(EDGE_TEXTS, pa.string()),
+    })
+
+
+def test_arrow_kernels_equal_pandas_kernels():
+    import pandas as pd
+
+    from docling_service_ray.stages.text_analysis import (
+        char_class_arrow,
+        char_class_batch,
+        fingerprint_arrow,
+        fingerprint_batch,
+        quality_score_arrow,
+        quality_score_batch,
+        token_count_arrow,
+        token_count_batch,
+    )
+
+    df, tbl = _edge_frame(), _edge_table()
+    pairs = [
+        (token_count_batch, token_count_arrow, ["n_tokens"]),
+        (char_class_batch, char_class_arrow,
+         ["n_chars_m", "n_spaces", "n_digits", "n_vowels"]),
+        (fingerprint_batch, fingerprint_arrow, ["fp"]),
+        (quality_score_batch, quality_score_arrow,
+         ["space_pm", "digit_pm", "stopword_pm", "quality_pm"]),
+    ]
+    for pd_fn, ar_fn, cols in pairs:
+        a = pd_fn(df.copy())[["doc_id"] + cols].reset_index(drop=True)
+        b = ar_fn(tbl).to_pandas()[["doc_id"] + cols]
+        pd.testing.assert_frame_equal(a, b, check_dtype=True), (pd_fn, cols)
