@@ -208,7 +208,8 @@ def _split_refs_by_bucket(ds, n_buckets: int, id_type: pa.DataType,
 
 def _partitioned_cc_rounds(edges_sym, labels, *, n_buckets: int,
                            id_type: pa.DataType, stop_below: int,
-                           max_rounds: int, round_offset: int = 0):
+                           max_rounds: int, round_offset: int = 0,
+                           frontier=None):
     """Big-frontier label-propagation rounds with STATIC partitioned state.
 
     The symmetric edge table and the label table are each hash-split by
@@ -219,6 +220,9 @@ def _partitioned_cc_rounds(edges_sym, labels, *, n_buckets: int,
     did. Runs until the frontier drops to ``stop_below`` (the broadcast
     tail's territory) or converges; returns
     ``(labels_ds, frontier_ds, rounds_used)`` as plain Datasets.
+
+    ``frontier`` (optional): resume from an existing frontier Dataset —
+    the regrowth re-entry path — instead of treating every node as fresh.
     """
     import ray
     import ray.data as rd
@@ -231,7 +235,11 @@ def _partitioned_cc_rounds(edges_sym, labels, *, n_buckets: int,
         edges_sym, n_buckets, id_type, ("node", "nbr"))
     label_parts = _split_refs_by_bucket(
         labels, n_buckets, id_type, ("node", "label"))
-    frontier_parts = list(label_parts)  # round 0: every node fresh
+    if frontier is None:
+        frontier_parts = list(label_parts)  # round 0: every node fresh
+    else:
+        frontier_parts = _split_refs_by_bucket(
+            frontier, n_buckets, id_type, ("node", "label"))
     f_counts = ray.get([tbl_count.remote(r) for r in frontier_parts])
 
     @ray.remote
@@ -342,8 +350,12 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
       into per-bucket object-store tables; every round moves only the
       pushed labels (see module docstring). Runs to convergence.
     - **shuffle fallback** (frontier > ``broadcast_frontier_max`` in the
-      Dataset loop, e.g. after frontier regrowth): the general 2-shuffle
-      round described in the module docstring.
+      Dataset loop, e.g. after frontier regrowth): with
+      ``use_partitioned`` on (the default) this RE-ENTERS the
+      partitioned-state regime from the current frontier — one split
+      pass, then O(pushed labels) per round; only
+      ``use_partitioned=False`` takes the legacy O(E)-per-round
+      2-shuffle join round.
     - **broadcast tail** (frontier <= ``broadcast_frontier_max``): the
       frontier's labels are collected to the driver, ``ray.put`` ONCE,
       and the whole round is map-only — push = a map over the
@@ -451,16 +463,32 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
             edges_sym, labels, n_buckets=n_buckets, id_type=id_type,
             stop_below=0, max_rounds=max_rounds)
 
-    for rnd in range(rounds_done + 1, max_rounds + 1):
+    rnd = rounds_done
+    while rnd < max_rounds:
         n_front = frontier.count()  # materialized: metadata read, no work
         if n_front == 0:
             break
+        rnd += 1
         if n_front <= broadcast_frontier_max:
             labels, frontier = _broadcast_round(
                 edges_sym, labels, frontier, id_type)
             logger.info(
                 "connected_components round %d (broadcast): frontier=%d",
                 rnd, frontier.count())
+            continue
+        if use_partitioned:
+            # frontier regrew past the broadcast threshold: RE-ENTER the
+            # partitioned-state regime from the current frontier instead
+            # of paying the generic O(E)-per-round join fallback (the
+            # splits cost one pass; every subsequent round moves only
+            # pushed labels)
+            labels, frontier, used = _partitioned_cc_rounds(
+                edges_sym, labels, frontier=frontier, n_buckets=n_buckets,
+                id_type=id_type, stop_below=0, max_rounds=max_rounds,
+                round_offset=rnd - 1)
+            if used == 0:  # max_rounds already consumed
+                break
+            rnd = rnd - 1 + used
             continue
         # push frontier labels across edges: (node, nbr, label) -> (nbr, label)
         pushed = bucketed_hash_join(
@@ -493,12 +521,11 @@ def connected_components(edges, *, src: str = "a", dst: str = "b",
         ).materialize()
         logger.info("connected_components round %d: frontier=%d",
                     rnd, frontier.count())
-    else:
-        if frontier.count() > 0:
-            raise RuntimeError(
-                f"connected_components did not converge in {max_rounds} "
-                "rounds (component diameter exceeds max_rounds; raise it)"
-            )
+    if frontier.count() > 0:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} "
+            "rounds (component diameter exceeds max_rounds; raise it)"
+        )
 
     return labels.map_batches(
         lambda t: pa.table({"node": t["node"], "component": t["label"]}),

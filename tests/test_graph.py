@@ -206,3 +206,36 @@ def test_neardup_clusters_planted(ray_session):
     got = dict(zip(comp["node"], comp["cluster"]))
     for i in range(0, 40, 4):
         assert got.get(1000 + i) == i, (i, got.get(1000 + i))
+
+
+def test_partitioned_rounds_resume_from_frontier(ray_session):
+    """The regrowth re-entry path resumes the partitioned regime from an
+    EXISTING frontier (not every-node-fresh): hand a mid-propagation
+    label state + its changed-set to _partitioned_cc_rounds and it must
+    converge to the true components, counting only the rounds it ran."""
+    import pyarrow as pa
+    import ray
+
+    from docling_service_ray.functions.graph import _partitioned_cc_rounds
+
+    # chain 0-1-2-3-4 after one completed round: label[i] = i-1 (i>0)
+    edges_sym = ray.data.from_arrow(pa.table({
+        "node": [0, 1, 1, 2, 2, 3, 3, 4],
+        "nbr":  [1, 0, 2, 1, 3, 2, 4, 3],
+    })).materialize()
+    labels = ray.data.from_arrow(pa.table({
+        "node": [0, 1, 2, 3, 4], "label": [0, 0, 1, 2, 3],
+    })).materialize()
+    frontier = ray.data.from_arrow(pa.table({
+        "node": [1, 2, 3, 4], "label": [0, 1, 2, 3],
+    })).materialize()
+
+    out_labels, out_frontier, used = _partitioned_cc_rounds(
+        edges_sym, labels, frontier=frontier, n_buckets=3,
+        id_type=pa.int64(), stop_below=0, max_rounds=16)
+    df = out_labels.to_pandas().sort_values("node")
+    assert df["label"].tolist() == [0, 0, 0, 0, 0]
+    assert out_frontier.count() == 0
+    # resume must NOT restart from scratch: remaining chain needs 3 more
+    # pushes (0->2, ->3, ->4) plus the empty-frontier confirming round
+    assert 3 <= used <= 5
