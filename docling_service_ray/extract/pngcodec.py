@@ -2,10 +2,13 @@
 
 ``decode_png``: signature check -> chunk walk (IHDR / PLTE / IDAT / IEND,
 CRC-verified) -> ``zlib`` inflate -> per-scanline de-filter (None / Sub /
-Up / Average / Paeth) -> pixel matrix + typed metadata. Supported: bit
-depth 8, color types 0 (gray), 2 (RGB), 3 (palette, expanded to RGB),
-4 (gray+alpha), 6 (RGBA), non-interlaced. Adam7 interlacing and other
-bit depths raise ``NotImplementedError`` — loud, never a fake answer.
+Up / Average / Paeth) -> pixel matrix + typed metadata. Supports every
+legal baseline IHDR: bit depths 1/2/4/8/16, color types 0 (gray),
+2 (RGB), 3 (palette, expanded to RGB), 4 (gray+alpha), 6 (RGBA), both
+non-interlaced and Adam7-interlaced streams (each of the seven passes is
+an independently filtered sub-image scattered back on its grid).
+Sub-byte gray/palette samples come back as RAW sample values
+(0..2^depth-1, not rescaled); 16-bit images come back as uint16.
 
 ``encode_png``: uint8 ``(h, w, channels)`` array -> PNG bytes. The
 per-row filter choice can cycle through all five filter types so a
@@ -73,11 +76,74 @@ def _chunks(data: bytes):
     raise ValueError("PNG ended without IEND")
 
 
+# legal IHDR bit depths per color type (PNG spec table 11.1)
+_LEGAL_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+                 4: (8, 16), 6: (8, 16)}
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per the spec
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _defilter(rows: np.ndarray, height: int, stride: int, bpp: int) -> np.ndarray:
+    """De-filter ``(height, stride+1)`` scanline bytes (filter byte first)
+    into ``(height, stride)`` reconstructed bytes. ``bpp`` is the filter
+    offset unit in BYTES (spec: max(1, bits_per_pixel // 8))."""
+    out = np.empty((height, stride), np.uint8)
+    prev = np.zeros(stride, np.int64)
+    for y in range(height):
+        ft = int(rows[y, 0])
+        line = rows[y, 1:].astype(np.int64)
+        if ft == 0:  # None
+            rec = line
+        elif ft == 1:  # Sub: per-byte-column running sum mod 256
+            pad = (-stride) % bpp
+            padded = np.concatenate([line, np.zeros(pad, np.int64)])
+            rec = (padded.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(-1)
+            rec = rec[:stride]
+        elif ft == 2:  # Up
+            rec = (line + prev) % 256
+        elif ft == 3:  # Average (sequential left dependency)
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                left = rec[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + (left + prev[i]) // 2) % 256
+        elif ft == 4:  # Paeth (sequential left dependency)
+            rec = np.empty(stride, np.int64)
+            for i in range(stride):
+                a = rec[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                rec[i] = (line[i] + paeth_predictor(int(a), int(b), int(c))) % 256
+        else:
+            raise ValueError(f"PNG: unknown scanline filter {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    return out
+
+
+def _rows_to_samples(rec: np.ndarray, ph: int, pw: int, depth: int,
+                     channels: int) -> np.ndarray:
+    """Reconstructed scanline bytes ``(ph, stride)`` -> sample matrix
+    ``(ph, pw, channels)`` (uint8, or uint16 for depth 16; sub-byte
+    depths yield raw sample values, MSB-first per the spec)."""
+    if depth == 8:
+        return rec.reshape(ph, pw, channels)
+    if depth == 16:
+        wide = (rec[:, 0::2].astype(np.uint16) << 8) | rec[:, 1::2]
+        return wide.reshape(ph, pw, channels)
+    # depths 1/2/4: channels is always 1 (gray or palette indices)
+    bits = np.unpackbits(rec, axis=1)
+    weights = 1 << np.arange(depth - 1, -1, -1)
+    vals = bits.reshape(ph, -1, depth) @ weights
+    return vals[:, :pw].astype(np.uint8).reshape(ph, pw, 1)
+
+
 def decode_png(data: bytes) -> dict:
     """Decode PNG bytes -> dict with ``width``, ``height``, ``bit_depth``,
-    ``color_type``, ``channels`` and ``pixels`` (uint8 array of shape
-    ``(height, width, channels)``; palette images come back expanded to
-    RGB)."""
+    ``color_type``, ``channels`` and ``pixels`` (array of shape
+    ``(height, width, channels)`` — uint8, or uint16 for 16-bit images;
+    palette images come back expanded to RGB)."""
     ihdr = None
     palette = None
     idat = []
@@ -93,53 +159,41 @@ def decode_png(data: bytes) -> dict:
     width, height, depth, color, comp, filt, interlace = ihdr
     if comp != 0 or filt != 0:
         raise ValueError("PNG: unknown compression/filter method")
-    if interlace != 0:
-        raise NotImplementedError("PNG Adam7 interlacing not supported")
-    if depth != 8:
-        raise NotImplementedError(f"PNG bit depth {depth} not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG: unknown interlace method {interlace}")
     if color not in _CHANNELS:
         raise ValueError(f"PNG: invalid color type {color}")
+    if depth not in _LEGAL_DEPTHS[color]:
+        raise ValueError(
+            f"PNG: illegal bit depth {depth} for color type {color}")
     if width == 0 or height == 0:
         raise ValueError("PNG: zero dimension")
 
-    bpp = _CHANNELS[color]
-    stride = width * bpp
+    channels = _CHANNELS[color]
+    bpp = max(1, (depth * channels) // 8)  # filter offset unit, bytes
+    dtype = np.uint16 if depth == 16 else np.uint8
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != height * (stride + 1):
+
+    pixels = np.zeros((height, width, channels), dtype)
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw == 0 or ph == 0:
+            continue
+        stride = (pw * depth * channels + 7) // 8
+        need = ph * (stride + 1)
+        if pos + need > len(raw):
+            raise ValueError("PNG: decompressed size mismatch")
+        rows = np.frombuffer(raw[pos:pos + need], np.uint8).reshape(
+            ph, stride + 1)
+        pos += need
+        rec = _defilter(rows, ph, stride, bpp)
+        pixels[y0::dy, x0::dx] = _rows_to_samples(rec, ph, pw, depth, channels)
+    if pos != len(raw):
         raise ValueError("PNG: decompressed size mismatch")
-    rows = np.frombuffer(raw, np.uint8).reshape(height, stride + 1)
 
-    out = np.empty((height, stride), np.uint8)
-    prev = np.zeros(stride, np.int64)
-    for y in range(height):
-        ft = int(rows[y, 0])
-        line = rows[y, 1:].astype(np.int64)
-        if ft == 0:  # None
-            rec = line
-        elif ft == 1:  # Sub: per-channel-column running sum mod 256
-            rec = (line.reshape(-1, bpp).cumsum(axis=0) % 256).reshape(-1)
-        elif ft == 2:  # Up
-            rec = (line + prev) % 256
-        elif ft == 3:  # Average (sequential left dependency)
-            rec = np.empty(stride, np.int64)
-            for i in range(stride):
-                left = rec[i - bpp] if i >= bpp else 0
-                rec[i] = (line[i] + (left + prev[i]) // 2) % 256
-        elif ft == 4:  # Paeth (sequential left dependency)
-            rec = np.empty(stride, np.int64)
-            for i in range(stride):
-                a = rec[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                rec[i] = (line[i] + paeth_predictor(int(a), int(b), int(c))) % 256
-            rec = rec
-        else:
-            raise ValueError(f"PNG: unknown scanline filter {ft}")
-        out[y] = rec.astype(np.uint8)
-        prev = rec
-
-    pixels = out.reshape(height, width, bpp)
-    channels = bpp
     if color == 3:
         if palette is None:
             raise ValueError("PNG: palette image without PLTE")

@@ -1,7 +1,9 @@
 """Pure-stdlib PNG codec tests: spec predictor cases, encode/decode
 roundtrips over every filter type and channel count, a frozen golden
 byte string (decoder pinned independently of the encoder), palette
-expansion, and the loud failure modes (Adam7, odd bit depths, CRC)."""
+expansion, 16-bit / sub-byte depths and Adam7 interlacing decoded
+against an independent spec-based builder, and the loud failure modes
+(illegal depth/color combos, CRC)."""
 
 import struct
 import zlib
@@ -87,14 +89,131 @@ def _mutate_ihdr(field_offset: int, value: int) -> bytes:
             + _chunk(b"IDAT", scan) + _chunk(b"IEND", b""))
 
 
-def test_interlaced_raises_not_implemented():
-    with pytest.raises(NotImplementedError, match="Adam7"):
-        decode_png(_mutate_ihdr(12, 1))
+# ---------------------------------------------------------------------------
+# Independent spec-based builder: constructs PNG streams (any legal depth,
+# Adam7 or progressive, any filter type) straight from the W3C spec
+# formulas — a from-scratch cross-check of the decoder, sharing no
+# reconstruction code with it.
+# ---------------------------------------------------------------------------
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
 
 
-def test_bit_depth_raises_not_implemented():
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_png(_mutate_ihdr(8, 16))
+def _pack_row(samples: np.ndarray, depth: int) -> bytes:
+    if depth == 8:
+        return bytes(samples.astype(np.uint8))
+    if depth == 16:
+        out = np.empty(len(samples) * 2, np.uint8)
+        out[0::2] = samples >> 8
+        out[1::2] = samples & 0xFF
+        return bytes(out)
+    bits = ((samples[:, None] >> np.arange(depth - 1, -1, -1)) & 1).reshape(-1)
+    pad = (-len(bits)) % 8
+    bits = np.concatenate([bits, np.zeros(pad, bits.dtype)])
+    return bytes(np.packbits(bits.astype(np.uint8)))
+
+
+def _forward_filter(cur, prev, bpp, ft):
+    cur = cur.astype(np.int64)
+    prev = prev.astype(np.int64)
+    left = np.zeros_like(cur)
+    left[bpp:] = cur[:-bpp]
+    upleft = np.zeros_like(prev)
+    upleft[bpp:] = prev[:-bpp]
+    if ft == 0:
+        return cur
+    if ft == 1:
+        return (cur - left) % 256
+    if ft == 2:
+        return (cur - prev) % 256
+    if ft == 3:
+        return (cur - (left + prev) // 2) % 256
+    p = left + prev - upleft
+    pa, pb, pc = abs(p - left), abs(p - prev), abs(p - upleft)
+    pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft))
+    return (cur - pred) % 256
+
+
+def _build_png(pixels: np.ndarray, depth: int, color: int, *,
+               interlace: int = 0, palette: bytes | None = None,
+               filters: str | int = 0) -> bytes:
+    h, w, ch = pixels.shape
+    bpp = max(1, (depth * ch) // 8)
+    stream = b""
+    passes = _ADAM7 if interlace else ((0, 0, 1, 1),)
+    for x0, y0, dx, dy in passes:
+        sub = pixels[y0::dy, x0::dx]
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            continue
+        prev = None
+        for y in range(ph):
+            raw = np.frombuffer(
+                _pack_row(sub[y].reshape(-1), depth), np.uint8)
+            ft = (y % 5) if filters == "cycle" else int(filters)
+            enc = _forward_filter(
+                raw, prev if prev is not None else np.zeros_like(raw),
+                bpp, ft)
+            stream += bytes([ft]) + bytes(enc.astype(np.uint8))
+            prev = raw
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    out = PNG_SIG + _chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += _chunk(b"PLTE", palette)
+    return out + _chunk(b"IDAT", zlib.compress(stream)) + _chunk(b"IEND", b"")
+
+
+def test_16bit_decode_all_filters():
+    rng = np.random.default_rng(3)
+    for color, ch in [(0, 1), (2, 3), (4, 2), (6, 4)]:
+        a = rng.integers(0, 65536, size=(5, 7, ch)).astype(np.uint16)
+        out = decode_png(_build_png(a, 16, color, filters="cycle"))
+        assert out["bit_depth"] == 16 and out["pixels"].dtype == np.uint16
+        assert (out["pixels"] == a).all()
+
+
+def test_adam7_decode_matches_progressive():
+    rng = np.random.default_rng(4)
+    for (h, w) in [(1, 1), (3, 3), (7, 7), (8, 8), (9, 10), (16, 5)]:
+        a = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        inter = decode_png(_build_png(a, 8, 2, interlace=1, filters="cycle"))
+        prog = decode_png(_build_png(a, 8, 2, interlace=0, filters="cycle"))
+        assert (inter["pixels"] == a).all()
+        assert (prog["pixels"] == inter["pixels"]).all()
+    # 16-bit interlaced too
+    a16 = rng.integers(0, 65536, size=(9, 6, 1)).astype(np.uint16)
+    out = decode_png(_build_png(a16, 16, 0, interlace=1, filters="cycle"))
+    assert (out["pixels"] == a16).all()
+
+
+def test_subbyte_depths_gray_and_palette():
+    rng = np.random.default_rng(5)
+    for depth in (1, 2, 4):
+        a = rng.integers(0, 1 << depth, size=(6, 11, 1)).astype(np.uint8)
+        for interlace in (0, 1):
+            out = decode_png(_build_png(a, depth, 0, interlace=interlace))
+            assert out["bit_depth"] == depth
+            assert (out["pixels"] == a).all(), (depth, interlace)
+    # 4-bit palette indices expand to RGB
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255])
+    idx = np.array([[0, 1, 2], [2, 1, 0]], np.uint8)[:, :, None]
+    out = decode_png(_build_png(idx, 4, 3, palette=plte))
+    assert out["channels"] == 3
+    assert out["pixels"][0, 2].tolist() == [0, 0, 255]
+    assert out["pixels"][1, 0].tolist() == [0, 0, 255]
+
+
+def test_illegal_depth_color_combo_rejected():
+    # depth 3 is illegal for every color type
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(_mutate_ihdr(8, 3))
+    # depth 16 is illegal for palette (color type 3)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 3, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 10))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="illegal bit depth"):
+        decode_png(data)
 
 
 def test_bad_signature_and_crc():
