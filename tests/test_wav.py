@@ -38,17 +38,72 @@ def test_odd_chunk_padding_and_extra_chunks():
     assert (out["samples"] == s).all()
 
 
-def test_rejects_non_pcm_and_wrong_depth():
-    s = np.zeros(4, dtype=np.int16)
-    wav = bytearray(encode_wav(s, rate=4000, channels=1))
-    fmt_off = wav.index(b"fmt ") + 8
-    wav[fmt_off:fmt_off + 2] = struct.pack("<H", 3)  # IEEE float
-    with pytest.raises(NotImplementedError, match="PCM"):
-        decode_wav(bytes(wav))
-    wav[fmt_off:fmt_off + 2] = struct.pack("<H", 1)
-    wav[fmt_off + 14:fmt_off + 16] = struct.pack("<H", 8)
-    with pytest.raises(NotImplementedError, match="bit depth"):
-        decode_wav(bytes(wav))
+def _build_wav(fmt_tag: int, bits: int, payload: bytes, *, rate=8000,
+               channels=1, extensible=False) -> bytes:
+    """Independent spec-based WAV builder for decoder cross-checks."""
+    block = max(1, channels * bits // 8)
+    tag = 0xFFFE if extensible else fmt_tag
+    fmt = struct.pack("<HHIIHH", tag, channels, rate, rate * block,
+                      block, bits)
+    if extensible:
+        guid = struct.pack("<H", fmt_tag) + bytes.fromhex(
+            "000000001000800000aa00389b71")
+        fmt += struct.pack("<HHI", 22, bits, 0) + guid
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_pcm_8_24_32_bit():
+    out = decode_wav(_build_wav(1, 8, bytes([0, 1, 127, 128, 255])))
+    assert out["samples"].dtype == np.uint8
+    assert out["samples"].tolist() == [0, 1, 127, 128, 255]
+
+    # 24-bit little-endian triplets, sign-extended
+    payload = bytes([1, 0, 0]) + bytes([255, 255, 255]) + bytes([0, 0, 128])
+    out = decode_wav(_build_wav(1, 24, payload))
+    assert out["samples"].tolist() == [1, -1, -(1 << 23)]
+    assert out["n_frames"] == 3
+
+    vals = np.array([0, -1, 2**31 - 1, -(2**31)], "<i4")
+    out = decode_wav(_build_wav(1, 32, vals.tobytes()))
+    assert out["samples"].tolist() == vals.tolist()
+
+
+def test_ieee_float_32_64():
+    f32 = np.array([0.0, -1.5, 0.25, 3.0e5], "<f4")
+    out = decode_wav(_build_wav(3, 32, f32.tobytes()))
+    assert out["samples"].dtype == np.float32
+    assert (out["samples"] == f32).all()
+    f64 = np.array([1e-300, -2.5], "<f8")
+    out = decode_wav(_build_wav(3, 64, f64.tobytes()))
+    assert (out["samples"] == f64).all()
+
+
+def test_g711_matches_audioop_all_256():
+    audioop = pytest.importorskip("audioop")  # stdlib through 3.12
+    every = bytes(range(256))
+    mu = decode_wav(_build_wav(7, 8, every))["samples"]
+    al = decode_wav(_build_wav(6, 8, every))["samples"]
+    mu_ref = np.frombuffer(audioop.ulaw2lin(every, 2), "<i2")
+    al_ref = np.frombuffer(audioop.alaw2lin(every, 2), "<i2")
+    assert mu.tolist() == mu_ref.tolist()
+    assert al.tolist() == al_ref.tolist()
+
+
+def test_extensible_resolves_subformat():
+    s = np.array([5, -5, 30000], "<i2")
+    out = decode_wav(_build_wav(1, 16, s.tobytes(), extensible=True))
+    assert out["samples"].tolist() == s.tolist()
+
+
+def test_rejects_compressed_and_illegal_depths():
+    with pytest.raises(NotImplementedError, match="format 2"):
+        decode_wav(_build_wav(2, 4, b"\x00\x00"))  # ADPCM
+    with pytest.raises(ValueError, match="illegal PCM bit depth"):
+        decode_wav(_build_wav(1, 12, b"\x00\x00"))
+    with pytest.raises(ValueError, match="illegal float bit depth"):
+        decode_wav(_build_wav(3, 16, b"\x00\x00"))
 
 
 def test_rejects_garbage_and_truncation():

@@ -248,3 +248,29 @@ def test_salted_rolling_window_spans_multiple_salts(ray_session):
     )
     pd.testing.assert_frame_equal(
         unsalted, salted[unsalted.columns], check_dtype=False)
+
+
+def test_detect_hot_keys_feeds_salted_window(ray_session):
+    # the AUTO path: detect_hot_keys profiles the planted mega key and its
+    # result drives salted_partitioned_window directly — same answer as
+    # the unsalted plan, no hand-tuned hot list
+    from docling_service_ray.functions.heavy_hitters import detect_hot_keys
+    from docling_service_ray.functions.window import salted_partitioned_window
+
+    rows = _mega_rows()
+    ds = _ds(rows).repartition(16)
+    hot = detect_hot_keys(ds, "k", phi_inv=3)  # mega holds 5000/5040 rows
+    assert hot == ["mega"]
+    specs = [("rn", "row_number", None, None),
+             ("cum", "cumsum", "x", None)]
+    unsalted = (
+        partitioned_window(_ds(rows), "k", ["o"], specs)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    auto = (
+        salted_partitioned_window(ds, "k", "o", specs,
+                                  hot_keys=hot, salt_width=100)
+        .to_pandas().sort_values(["k", "o"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(unsalted, auto[unsalted.columns],
+                                  check_dtype=False)
