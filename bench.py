@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_stats_by_lang",
     "chars_histogram",
     "corr_by_lang",
+    "auto_salted_segment_value",
 ]
 
 
