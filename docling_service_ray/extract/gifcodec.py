@@ -1,11 +1,13 @@
 """Pure-stdlib GIF codec (the public GIF87a/89a spec): LZW-compressed
-palette images, single frame, non-interlaced.
+palette images — single-frame or ANIMATED, interlaced or not.
 
 ``decode_gif``: header + logical screen descriptor walk, global/local
-color table, extension skipping, full variable-width LZW decode
-(dictionary growth to 12 bits, clear/end codes), palette expansion to
-RGB pixels. Interlaced images raise ``NotImplementedError`` — loud,
-never a fake answer.
+color tables, Graphic Control Extensions (transparency + disposal
+methods 1/2/3), full variable-width LZW decode (dictionary growth to 12
+bits, clear/end codes), 4-pass de-interlacing, and frame compositing on
+the logical screen. Returns the screen-sized first composited frame as
+``pixels`` (back-compatible: single full-screen frames are unchanged)
+plus ``n_frames`` and the full ``frames`` stack.
 
 ``encode_gif``: palette-index matrix + RGB palette -> GIF bytes with a
 REAL LZW compressor (greedy longest-match, dictionary reset at 4096),
@@ -93,12 +95,22 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
     return out
 
 
+def _deinterlace_rows(h: int) -> np.ndarray:
+    """GIF 4-pass interlace: display row index of each stored row."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
 def decode_gif(data: bytes) -> dict:
-    """GIF bytes -> dict with ``width``, ``height``, ``channels`` (3) and
-    ``pixels`` (uint8 (h, w, 3), palette-expanded)."""
+    """GIF bytes -> dict with ``width``/``height`` (logical screen),
+    ``channels`` (3), ``pixels`` (uint8 (h, w, 3): the FIRST composited
+    frame), ``n_frames``, and ``frames`` (uint8 (n, h, w, 3): every
+    frame composited per the spec's disposal/transparency rules)."""
     if data[:6] not in _HEADERS:
         raise ValueError("not a GIF: bad signature")
-    sw, sh, packed, _bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
+    if sw == 0 or sh == 0:
+        raise ValueError("GIF: zero screen dimension")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -106,13 +118,27 @@ def decode_gif(data: bytes) -> dict:
         gct = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(-1, 3)
         pos += 3 * n
 
+    bg_rgb = (gct[bg] if gct is not None and bg < len(gct)
+              else np.zeros(3, np.uint8))
+    canvas = np.empty((sh, sw, 3), np.uint8)
+    canvas[:] = bg_rgb
+    frames: list[np.ndarray] = []
+    transparent: int | None = None
+    disposal = 0
+
     while pos < len(data):
         marker = data[pos]
         pos += 1
         if marker == 0x3B:  # trailer
-            raise ValueError("GIF: no image data before trailer")
-        if marker == 0x21:  # extension: label + sub-blocks, skip
+            break
+        if marker == 0x21:  # extension
+            label = data[pos]
             pos += 1
+            if label == 0xF9 and data[pos] >= 4:  # Graphic Control Ext
+                gpacked = data[pos + 1]
+                tidx = data[pos + 4]
+                transparent = tidx if (gpacked & 0x01) else None
+                disposal = (gpacked >> 2) & 0x07
             while data[pos]:
                 pos += 1 + data[pos]
             pos += 1
@@ -121,8 +147,8 @@ def decode_gif(data: bytes) -> dict:
             raise ValueError(f"GIF: unexpected block 0x{marker:02x}")
         left, top, w, h, ipacked = struct.unpack("<HHHHB", data[pos : pos + 9])
         pos += 9
-        if ipacked & 0x40:
-            raise NotImplementedError("GIF interlacing not supported")
+        if w == 0 or h == 0 or left + w > sw or top + h > sh:
+            raise ValueError("GIF: frame outside the logical screen")
         palette = gct
         if ipacked & 0x80:
             n = 2 << (ipacked & 0x07)
@@ -139,16 +165,35 @@ def decode_gif(data: bytes) -> dict:
             chunks.append(data[pos + 1 : pos + 1 + ln])
             pos += 1 + ln
         pos += 1
-        idx = _lzw_decode(b"".join(chunks), min_code_size, w * h)
+        idx = _lzw_decode(b"".join(chunks), min_code_size, w * h).reshape(h, w)
         if int(idx.max(initial=0)) >= len(palette):
             raise ValueError("GIF: palette index out of range")
-        return {
-            "width": w,
-            "height": h,
-            "channels": 3,
-            "pixels": palette[idx].reshape(h, w, 3),
-        }
-    raise ValueError("GIF: truncated before image data")
+        if ipacked & 0x40:  # interlaced: stored row i displays at row[i]
+            display = np.empty_like(idx)
+            display[_deinterlace_rows(h)] = idx
+            idx = display
+
+        prev = canvas.copy() if disposal == 3 else None
+        region = canvas[top : top + h, left : left + w]
+        mask = (idx != transparent) if transparent is not None else slice(None)
+        region[mask] = palette[idx][mask]
+        frames.append(canvas.copy())
+        if disposal == 2:  # restore region to background
+            canvas[top : top + h, left : left + w] = bg_rgb
+        elif disposal == 3:  # restore to previous canvas
+            canvas = prev
+        transparent, disposal = None, 0  # a GCE governs ONE image
+
+    if not frames:
+        raise ValueError("GIF: truncated before image data")
+    return {
+        "width": sw,
+        "height": sh,
+        "channels": 3,
+        "n_frames": len(frames),
+        "pixels": frames[0],
+        "frames": np.stack(frames),
+    }
 
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:

@@ -42,14 +42,89 @@ def test_extension_blocks_are_skipped():
     assert (out["pixels"] == pal[idx]).all()
 
 
-def test_interlaced_raises():
-    idx = np.zeros((2, 2), np.uint8)
+def test_interlaced_decodes_to_display_order():
+    # an interlaced encoder stores rows in 4-pass order; build that by
+    # encoding the PERMUTED row matrix and flipping the interlace flag —
+    # the decoder must hand back display order
+    from docling_service_ray.extract.gifcodec import _deinterlace_rows
+
+    rng = np.random.default_rng(8)
+    for h in (1, 2, 5, 8, 13):
+        idx = rng.integers(0, 4, size=(h, 6)).astype(np.uint8)
+        pal = np.stack([np.arange(4, dtype=np.uint8) * 60] * 3, axis=1)
+        stored = idx[_deinterlace_rows(h)]  # rows in pass order
+        gif = bytearray(encode_gif(stored, pal))
+        desc = gif.index(0x2C, 13)
+        gif[desc + 9] |= 0x40  # set interlace flag
+        out = decode_gif(bytes(gif))
+        assert (out["pixels"] == pal[idx]).all(), h
+
+
+def _image_block(idx: np.ndarray, *, left=0, top=0, interlace=False) -> bytes:
+    """Hand-built image descriptor + LZW data (uses the encoder's LZW)."""
+    import struct
+
+    from docling_service_ray.extract.gifcodec import _lzw_encode
+
+    h, w = idx.shape
+    lzw = _lzw_encode(idx.reshape(-1), 2)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks.extend(chunk)
+    blocks.append(0)
+    return (b"\x2C"
+            + struct.pack("<HHHHB", left, top, w, h, 0x40 if interlace else 0)
+            + bytes([2]) + bytes(blocks))
+
+
+def _gce(*, transparent=None, disposal=0) -> bytes:
+    packed = (disposal << 2) | (1 if transparent is not None else 0)
+    return bytes([0x21, 0xF9, 0x04, packed, 0, 0,
+                  transparent if transparent is not None else 0, 0])
+
+
+def test_animated_transparency_and_disposal():
+    import struct
+
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [5, 5, 5]], np.uint8)
+    screen = struct.pack("<HHBBB", 4, 4, 0x80 | 1, 3, 0)  # bg = index 3
+    f1 = np.zeros((4, 4), np.uint8)          # full screen of color 0
+    f2 = np.full((2, 2), 1, np.uint8)        # patch at (1,1), disposal 2
+    f2[0, 0] = 2                             # transparent index 2: shows f1
+    f3 = np.full((1, 1), 1, np.uint8)        # after bg-restore of f2 region
+    gif = (b"GIF89a" + screen + pal.tobytes()
+           + _image_block(f1)
+           + _gce(transparent=2, disposal=2) + _image_block(f2, left=1, top=1)
+           + _image_block(f3)
+           + b"\x3B")
+    out = decode_gif(gif)
+    assert (out["width"], out["height"], out["n_frames"]) == (4, 4, 3)
+    fr = out["frames"]
+    assert (fr[0] == pal[0]).all()                     # frame 1: color 0
+    assert fr[1][1, 1].tolist() == pal[0].tolist()     # transparent -> f1
+    assert fr[1][1, 2].tolist() == pal[1].tolist()     # painted patch
+    assert fr[1][2, 1].tolist() == pal[1].tolist()
+    # frame 3: f2's region restored to BACKGROUND (index 3), then a
+    # single pixel of color 1 painted at (0,0)
+    assert fr[2][0, 0].tolist() == pal[1].tolist()
+    assert fr[2][1, 1].tolist() == pal[3].tolist()     # bg-restored
+    assert fr[2][2, 2].tolist() == pal[3].tolist()
+    assert fr[2][3, 3].tolist() == pal[0].tolist()     # untouched by f2
+    assert (out["pixels"] == fr[0]).all()              # back-compat
+
+
+def test_frame_outside_screen_rejected():
+    import struct
+
     pal = np.array([[0, 0, 0]], np.uint8)
-    gif = bytearray(encode_gif(idx, pal))
-    desc = gif.index(0x2C, 13)
-    gif[desc + 9] |= 0x40  # set interlace flag
-    with pytest.raises(NotImplementedError, match="interlacing"):
-        decode_gif(bytes(gif))
+    screen = struct.pack("<HHBBB", 2, 2, 0x80, 0, 0)
+    gif = (b"GIF89a" + screen + np.zeros((2, 3), np.uint8).tobytes()
+           + _image_block(np.zeros((2, 2), np.uint8), left=1, top=0)
+           + b"\x3B")
+    with pytest.raises(ValueError, match="outside the logical screen"):
+        decode_gif(gif)
 
 
 def test_rejects_garbage_and_truncation():
