@@ -108,6 +108,42 @@ def key_summary_batch(keys: pd.Series, capacity: int) -> pd.DataFrame:
     return pd.concat([out, total], ignore_index=True)
 
 
+def hot_key_candidates(ds, key: str, *, phi_inv: int = 100,
+                       capacity: int | None = None,
+                       batch_size: int = 65536) -> list[str]:
+    """ONE-pass hot-key candidates: every key with global frequency
+    >= N/phi_inv is returned (guaranteed recall), along with bounded
+    over-selection down to ~0.75x the threshold. Candidates come back
+    STRINGIFIED (the summary namespace), hottest-estimate unordered.
+
+    This is the right detection pass when the consumer is a SALTED PLAN
+    (skew_salted_join / salted_partitioned_window / the stitch router):
+    those plans produce identical output for any superset of the true
+    hot set — salting only changes placement — so the exact recount
+    pass :func:`detect_hot_keys` runs is unnecessary and its whole
+    Dataset execution can be skipped."""
+    from ray.data.aggregate import Sum
+
+    if capacity is None:
+        capacity = 4 * phi_inv
+    if capacity < 2 * phi_inv:
+        raise ValueError(
+            f"capacity {capacity} < 2*phi_inv: recall guarantee void"
+        )
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return key_summary_batch(batch[key], capacity)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=batch_size)
+        .groupby("word")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()  # sketch-cardinality (<= ~capacity rows)
+    )
+    candidates, _total = select_candidates(merged, phi_inv, capacity)
+    return sorted(candidates)
+
+
 def detect_hot_keys(ds, key: str, *, phi_inv: int = 100,
                     capacity: int | None = None,
                     batch_size: int = 65536) -> list:

@@ -1660,7 +1660,7 @@ def salted_join_priority(sf_dir: str):
 def auto_salted_segment_value(sf_dir: str):
     from ray.data.aggregate import Sum
 
-    from ..functions.heavy_hitters import detect_hot_keys
+    from ..functions.heavy_hitters import hot_key_candidates
     from ..functions.joins import skew_salted_join
 
     ev = read_table(sf_dir, "events", columns=["user_id", "value"])
@@ -1670,9 +1670,11 @@ def auto_salted_segment_value(sf_dir: str):
                          "value_cents": to_cents(batch["value"])})
 
     big = ev.map_batches(prep, batch_format="pyarrow", batch_size=65536)
-    # AUTO path: users holding >= 0.5% of all events are hot. Detection is
-    # exact (guaranteed recall + recount), returns values in key dtype.
-    hot = detect_hot_keys(big, "c_custkey", phi_inv=200)
+    # AUTO path: users holding >= 0.5% of all events are hot. ONE-pass
+    # guaranteed-recall candidates suffice — the salted join's output is
+    # invariant to over-selection (salting only changes placement), so
+    # the exact-recount execution detect_hot_keys would add is skipped.
+    hot = [int(k) for k in hot_key_candidates(big, "c_custkey", phi_inv=200)]
     small = read_table(sf_dir, "customer",
                        columns=["c_custkey", "c_mktsegment"])
     joined = skew_salted_join(

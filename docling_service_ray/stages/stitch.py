@@ -196,34 +196,19 @@ def mega_conversation_candidates(ids_ds, *, n_buckets: int,
     hash bucket's payload, the regime where the default stitch's
     one-bucket-per-conversation co-location stops bounding task memory.
 
-    One streaming pass over a conv_id-only projection (Misra-Gries
-    summaries, functions/heavy_hitters.py): guaranteed recall — every
-    conversation at or above the threshold is returned — with bounded
-    over-selection (near-misses down to ~0.75x the threshold may appear).
-    Over-selection is safe here because the result only picks the PLAN
-    (salted vs hash-bucket stitch, byte-identical outputs); the exact
-    recount pass detect_hot_keys performs is unnecessary for routing, so
-    this costs a single cheap execution over one string column.
+    One streaming pass over a conv_id-only projection
+    (functions/heavy_hitters.py ``hot_key_candidates``): guaranteed
+    recall — every conversation at or above the threshold is returned —
+    with bounded over-selection (near-misses down to ~0.75x the
+    threshold may appear). Over-selection is safe here because the
+    result only picks the PLAN (salted vs hash-bucket stitch,
+    byte-identical outputs), so the exact recount pass is skipped.
     """
-    from ray.data.aggregate import Sum
+    from ..functions.heavy_hitters import hot_key_candidates
 
-    from ..functions.heavy_hitters import key_summary_batch, select_candidates
-
-    phi_inv = bucket_fill * n_buckets
-    capacity = 4 * phi_inv
-
-    def partial(batch: pd.DataFrame) -> pd.DataFrame:
-        return key_summary_batch(batch["conv_id"], capacity)
-
-    merged = (
-        ids_ds.map_batches(partial, batch_format="pandas",
-                           batch_size=batch_size)
-        .groupby("word")
-        .aggregate(Sum("est", alias_name="est"))
-        .to_pandas()  # sketch-cardinality (<= ~capacity rows), never the
-    )                 # conversation-id domain
-    candidates, total = select_candidates(merged, phi_inv, capacity)
-    return sorted(candidates)
+    return hot_key_candidates(
+        ids_ds, "conv_id", phi_inv=bucket_fill * n_buckets,
+        batch_size=batch_size)
 
 
 # ---------------------------------------------------------------------------
