@@ -470,6 +470,105 @@ def token_histogram(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# vocabulary build + token-id corpus encoding (the tokenize step of a
+# training pipeline: frequency vocab -> broadcast dict -> int-id streams)
+# ---------------------------------------------------------------------------
+def build_vocab(ds, text_col: str = "text", top_n: int = 256) -> pd.DataFrame:
+    """Frequency vocabulary of a text column: the ``top_n`` words by
+    (count desc, word asc) with dense ``token_id`` 0..top_n-1 in that
+    order. Tokens collapse to (word, partial count) per batch BEFORE the
+    shuffle (vocabulary exchange, never the token stream); the driver
+    holds exactly ``top_n`` rows — the documented, bounded contract of a
+    broadcast vocabulary."""
+    from ray.data.aggregate import Sum
+
+    def partial_counts(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch[text_col].fillna("").str.strip()
+        s = s[s != ""]
+        vc = s.str.split(r"\s+").explode().value_counts()
+        return pd.DataFrame({"word": vc.index,
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    top = (
+        ds.map_batches(partial_counts, batch_format="pandas")
+        .groupby("word").aggregate(Sum("cnt", alias_name="cnt"))
+        .sort(["cnt", "word"], descending=[True, False])
+        .limit(top_n)
+        .to_pandas()
+    )
+    top["token_id"] = np.arange(len(top), dtype=np.int64)
+    return top[["word", "cnt", "token_id"]]
+
+
+_TRIM_DOC = "regexp_replace(text, '^\\s+|\\s+$', '', 'g')"
+
+_VOCAB_SQL = (
+    "WITH tok AS (SELECT unnest(regexp_split_to_array("
+    f"{_TRIM_DOC}, '\\s+')) AS word FROM documents "
+    f"WHERE {_TRIM_DOC} <> ''), "
+    "v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok "
+    "GROUP BY word) "
+    "SELECT word, cnt, CAST(ROW_NUMBER() OVER "
+    "(ORDER BY cnt DESC, word) - 1 AS BIGINT) AS token_id FROM v "
+    "ORDER BY cnt DESC, word LIMIT 16"
+)
+
+
+@register("vocab_ids", _VOCAB_SQL)
+def vocab_ids(sf_dir: str):
+    """Top-16 frequency vocabulary with dense token ids (exact SQL
+    mirror: ROW_NUMBER over (cnt DESC, word))."""
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return build_vocab(ds, top_n=16)
+
+
+@register(
+    "encoded_docs",
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+    f"{_TRIM_DOC}, '\\s+')) AS word, generate_subscripts("
+    f"regexp_split_to_array({_TRIM_DOC}, '\\s+'), 1) AS i "
+    f"FROM documents WHERE {_TRIM_DOC} <> ''), "
+    "v AS (SELECT word, COUNT(*) AS cnt FROM tok GROUP BY word), "
+    "ids AS (SELECT word, ROW_NUMBER() OVER "
+    "(ORDER BY cnt DESC, word) - 1 AS token_id FROM v "
+    "ORDER BY cnt DESC, word LIMIT 16) "
+    "SELECT t.doc_id, string_agg(CAST(COALESCE(ids.token_id, -1) "
+    "AS VARCHAR), ',' ORDER BY t.i) AS ids, "
+    "CAST(COUNT(*) AS BIGINT) AS n_tokens "
+    "FROM tok t LEFT JOIN ids USING (word) GROUP BY t.doc_id",
+)
+def encoded_docs(sf_dir: str):
+    """Corpus tokenization to int ids: frequency vocab (top 16, so OOV is real on this corpus) built
+    distributed, broadcast ONCE via ray.put, then a map-only encode pass
+    emits each non-empty document's token-id sequence (OOV = -1; comma
+    string so the DuckDB oracle reproduces it byte-exactly). Two passes
+    over the text — the same two passes the SQL makes — and the only
+    driver materialization is the bounded vocab."""
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    vocab = build_vocab(ds, top_n=16)
+    ref = ray.put(dict(zip(vocab["word"], vocab["token_id"])))
+
+    def enc(df: pd.DataFrame) -> pd.DataFrame:
+        m = ray.get(ref)
+        s = df["text"].fillna("").str.strip()
+        keep = s != ""
+        df, s = df[keep], s[keep]
+        toks = s.str.split(r"\s+")
+        ex = toks.explode()
+        ids = ex.map(m).fillna(-1).astype(np.int64).astype(str)
+        joined = ids.groupby(level=0).agg(",".join)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "ids": joined.reindex(df.index).to_numpy(),
+            "n_tokens": toks.str.len().to_numpy().astype("int64"),
+        })
+
+    return ds.map_batches(enc, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # corpus-frequency rarity scoring (two-pass: vocab build + doc scoring)
 # ---------------------------------------------------------------------------
 @register(
