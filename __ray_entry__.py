@@ -120,7 +120,13 @@ def _registry() -> tuple[dict, dict]:
                "revenue_rollup",       # grouping sets -> revenue_cube
                "png_meta",             # real-codec roundtrip -> gif_meta/wav_meta
                "hash_sample_k",        # hash top-k sample -> stratified_sample
-               "weighted_sample")      # weighted sample -> stratified_sample
+               "weighted_sample",      # weighted sample -> stratified_sample
+               "vocab_ids",            # vocab build -> encoded_docs
+                                       # (superset: builds the vocab AND
+                                       # broadcast-encodes with it)
+               "salted_join_priority") # hand-listed skew-salted join ->
+                                       # auto_salted_segment_value (same
+                                       # join plan, hot keys auto-detected)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()
