@@ -215,3 +215,37 @@ def test_lzw_end_code_width_at_boundary():
                     width += 1
             prev = entry
         assert bytes(out) == idx.tobytes(), f"pixel mismatch at n={n}"
+
+
+def test_gif_frame_sample_stage(ray_session):
+    """Animated GIF -> every-2nd composited frame re-encoded as PNG,
+    through the actor-pool stage; PNG-decoding a sampled frame must give
+    back the composited pixels, and broken payloads degrade row-level."""
+    import ray.data as rd
+
+    from docling_service_ray.extract.pngcodec import decode_png
+    from docling_service_ray.stages.multimodal import GifFrameSample
+
+    import struct
+    pal = np.array([[10, 0, 0], [0, 20, 0], [0, 0, 30], [5, 5, 5]], np.uint8)
+    screen = struct.pack("<HHBBB", 4, 4, 0x80 | 1, 3, 0)
+    gif = (b"GIF89a" + screen + pal.tobytes()
+           + _image_block(np.zeros((4, 4), np.uint8))
+           + _image_block(np.full((2, 2), 1, np.uint8), left=1, top=1)
+           + _image_block(np.full((1, 1), 2, np.uint8))
+           + b"\x3B")
+    expected = decode_gif(gif)["frames"]
+
+    import pyarrow as pa
+    ds = rd.from_arrow(pa.table({"doc_id": [1, 2],
+                                 "payload": [gif, b"notagif"]}))
+    out = ds.map_batches(GifFrameSample, batch_format="pyarrow",
+                         concurrency=1).to_pandas().set_index("doc_id")
+    ok = out.loc[1]
+    assert ok["n_frames_total"] == 3
+    assert len(ok["frames"]) == 2            # frames 0 and 2 (stride 2)
+    for png_bytes, frame_idx in zip(ok["frames"], (0, 2)):
+        px = decode_png(bytes(png_bytes))["pixels"]
+        assert (px == expected[frame_idx]).all()
+    bad = out.loc[2]
+    assert bad["n_frames_total"] == 0 and len(bad["frames"]) == 0
