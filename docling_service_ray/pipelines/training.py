@@ -2223,6 +2223,87 @@ def frequent_tokens(sf_dir: str):
                      "cnt": pa.array(keep["cnt"].to_numpy(), pa.int64())})
 
 
+_HH_BIGRAM_PHI_INV = 800
+_HH_BIGRAM_CAPACITY = 4 * _HH_BIGRAM_PHI_INV
+
+
+def _bigram_series(texts: pd.Series) -> pd.Series:
+    """All within-document adjacent token pairs ('left right'), vectorized:
+    explode tokens, group-shift for the right neighbour, positional mask
+    (never index-aligned — the exploded index has duplicates)."""
+    s = texts.fillna("").str.strip()
+    s = s[s != ""]
+    ex = s.str.split(r"\s+").explode()
+    nxt = ex.groupby(level=0).shift(-1)
+    mask = nxt.notna().to_numpy()
+    return (pd.Series(ex.to_numpy()[mask], dtype="object")
+            + " " + pd.Series(nxt.to_numpy()[mask], dtype="object"))
+
+
+@register(
+    "frequent_bigrams",
+    # same heavy-hitter contract over COMPOSED keys: bigrams whose count
+    # is >= 1/800 of all within-document adjacent pairs (bigram mass is
+    # spread ~3x thinner than unigram mass on this corpus)
+    "WITH tok AS (SELECT doc_id, unnest(regexp_split_to_array("
+    f"{_TRIM_DOC}, '\\s+')) AS word, generate_subscripts("
+    f"regexp_split_to_array({_TRIM_DOC}, '\\s+'), 1) AS i "
+    f"FROM documents WHERE {_TRIM_DOC} <> ''), "
+    "big AS (SELECT a.word || ' ' || b.word AS bigram FROM tok a "
+    "JOIN tok b ON a.doc_id = b.doc_id AND b.i = a.i + 1), "
+    "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM big) "
+    "SELECT bigram, CAST(cnt AS BIGINT) AS cnt FROM "
+    "(SELECT bigram, COUNT(*) AS cnt FROM big GROUP BY bigram), t "
+    f"WHERE cnt * {_HH_BIGRAM_PHI_INV} >= total",
+)
+def frequent_bigrams(sf_dir: str):
+    """Exact frequent PHRASES (adjacent token pairs) with the same
+    no-vocabulary-shuffle plan as :func:`frequent_tokens`: the
+    Misra-Gries machinery is key-agnostic, so composing tokens into
+    bigrams map-side is the only change — the summary exchange still
+    moves <= capacity rows per batch, never the bigram vocabulary
+    (which is far larger than the unigram one at corpus scale)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.heavy_hitters import key_summary_batch, select_candidates
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+
+    def partial(batch: pd.DataFrame) -> pd.DataFrame:
+        return key_summary_batch(_bigram_series(batch["text"]), _HH_BIGRAM_CAPACITY)
+
+    merged = (
+        ds.map_batches(partial, batch_format="pandas", batch_size=65536)
+        .groupby("word")
+        .aggregate(Sum("est", alias_name="est"))
+        .to_pandas()
+    )
+    candidates, total = select_candidates(merged, _HH_BIGRAM_PHI_INV, _HH_BIGRAM_CAPACITY)
+    if not candidates:
+        return pa.table({"bigram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    cand_ref = ray.put(candidates)
+
+    def recount(batch: pd.DataFrame) -> pd.DataFrame:
+        pairs = _bigram_series(batch["text"])
+        hits = pairs[pairs.isin(ray.get(cand_ref))]
+        vc = hits.value_counts()
+        return pd.DataFrame({"bigram": vc.index.astype(str),
+                             "cnt": vc.to_numpy().astype("int64")})
+
+    exact = (
+        ds.map_batches(recount, batch_format="pandas", batch_size=65536)
+        .groupby("bigram")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+    )
+    keep = exact[exact["cnt"].to_numpy() * _HH_BIGRAM_PHI_INV >= total]
+    keep = keep.sort_values("bigram").reset_index(drop=True)
+    return pa.table({"bigram": pa.array(keep["bigram"], pa.string()),
+                     "cnt": pa.array(keep["cnt"].to_numpy(), pa.int64())})
+
+
 # ---------------------------------------------------------------------------
 # Range partitioning with exact quantile boundaries: per-doc partition
 # assignment (quartiles of n_chars). Mechanism = the sorted-output-layout

@@ -158,3 +158,41 @@ def test_detect_hot_keys_feeds_salted_join_and_beats_unsalted(ray_session):
     salted = (h + salts * 1000003) % n_buckets
     worst = max(Counter(salted.tolist()).values())
     assert worst <= len(hot_rows) / 4 + 1
+
+
+def test_bigram_series_never_crosses_documents():
+    import pandas as pd
+
+    from docling_service_ray.pipelines.training import _bigram_series
+
+    texts = pd.Series(["a b c", "c d", "", None, "  x  ", "e  f"])
+    pairs = sorted(_bigram_series(texts).tolist())
+    # no ("c c") pair across rows 0->1, no pair for 1-token / empty rows,
+    # multi-space splits like single space
+    assert pairs == ["a b", "b c", "c d", "e f"]
+
+
+def test_frequent_bigrams_planted(ray_session):
+    import pandas as pd
+    import ray
+
+    import docling_service_ray.pipelines.training as tr
+
+    # 'hot pair' appears 30/102 pairs (>1/800); everything else unique-ish
+    docs = ["hot pair"] * 30 + [f"w{i} u{i} v{i}" for i in range(36)]
+    df = pd.DataFrame({"doc_id": range(len(docs)), "text": docs})
+    tmp = "/tmp/bigram_sf"
+    import os
+    os.makedirs(tmp, exist_ok=True)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    pq.write_table(pa.table({"doc_id": pa.array(df["doc_id"], pa.int64()),
+                             "text": df["text"].tolist()}),
+                   f"{tmp}/documents.parquet")
+    out = tr.QUERIES["frequent_bigrams"](tmp)
+    out = out.to_pandas() if hasattr(out, "to_pandas") else out
+    got = dict(zip(out["bigram"], out["cnt"]))
+    assert got["hot pair"] == 30
+    # the unique-ish pairs each appear once out of 102: below 1/800? no —
+    # 1/102 > 1/800, so EVERY pair qualifies here; check total rows exact
+    assert len(out) == 73  # 'hot pair' + 36 docs x 2 pairs each
