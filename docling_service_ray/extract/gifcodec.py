@@ -28,6 +28,10 @@ import numpy as np
 
 _HEADERS = (b"GIF87a", b"GIF89a")
 
+# Hostile-input bound (see pngcodec.MAX_DECODE_BYTES): a patched logical
+# screen descriptor or a frame flood must not OOM a decode worker.
+MAX_DECODE_BYTES = 1 << 28  # 256 MiB of composited RGB frame bytes
+
 
 class _BitReader:
     """LSB-first variable-width code reader over concatenated sub-blocks."""
@@ -101,16 +105,25 @@ def _deinterlace_rows(h: int) -> np.ndarray:
                            np.arange(2, h, 4), np.arange(1, h, 2)])
 
 
-def decode_gif(data: bytes) -> dict:
+def decode_gif(data: bytes, *, max_bytes: int = MAX_DECODE_BYTES) -> dict:
     """GIF bytes -> dict with ``width``/``height`` (logical screen),
     ``channels`` (3), ``pixels`` (uint8 (h, w, 3): the FIRST composited
     frame), ``n_frames``, and ``frames`` (uint8 (n, h, w, 3): every
-    frame composited per the spec's disposal/transparency rules)."""
+    frame composited per the spec's disposal/transparency rules).
+
+    ``max_bytes`` bounds the canvas AND the total composited frame bytes
+    (hostile screen descriptors / frame floods raise ``ValueError``
+    before allocating)."""
     if data[:6] not in _HEADERS:
         raise ValueError("not a GIF: bad signature")
     sw, sh, packed, bg, _aspect = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise ValueError("GIF: zero screen dimension")
+    canvas_bytes = sw * sh * 3
+    if canvas_bytes > max_bytes:
+        raise ValueError(
+            f"GIF: declared screen needs {canvas_bytes} bytes "
+            f"> max_bytes={max_bytes} (hostile-header guard)")
     pos = 13
     gct = None
     if packed & 0x80:
@@ -173,6 +186,10 @@ def decode_gif(data: bytes) -> dict:
             display[_deinterlace_rows(h)] = idx
             idx = display
 
+        if (len(frames) + 1) * canvas_bytes > max_bytes:
+            raise ValueError(
+                f"GIF: frame stack exceeds max_bytes={max_bytes} after "
+                f"{len(frames)} frames (frame-flood guard)")
         prev = canvas.copy() if disposal == 3 else None
         region = canvas[top : top + h, left : left + w]
         mask = (idx != transparent) if transparent is not None else slice(None)

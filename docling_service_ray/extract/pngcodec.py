@@ -36,6 +36,12 @@ import numpy as np
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
+# Hostile-input bound: a 4-byte-patched IHDR can declare petabyte
+# dimensions; refuse BEFORE allocating or inflating (decode workers run
+# over untrusted payloads at corpus scale — an allocation bomb in one row
+# must not OOM the worker). Raise per-call via the max_bytes parameter.
+MAX_DECODE_BYTES = 1 << 28  # 256 MiB of reconstructed scanline bytes
+
 _CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 _IHDR = struct.Struct(">IIBBBBB")
@@ -139,11 +145,16 @@ def _rows_to_samples(rec: np.ndarray, ph: int, pw: int, depth: int,
     return vals[:, :pw].astype(np.uint8).reshape(ph, pw, 1)
 
 
-def decode_png(data: bytes) -> dict:
+def decode_png(data: bytes, *, max_bytes: int = MAX_DECODE_BYTES) -> dict:
     """Decode PNG bytes -> dict with ``width``, ``height``, ``bit_depth``,
     ``color_type``, ``channels`` and ``pixels`` (array of shape
     ``(height, width, channels)`` — uint8, or uint16 for 16-bit images;
-    palette images come back expanded to RGB)."""
+    palette images come back expanded to RGB).
+
+    ``max_bytes`` bounds the reconstructed image size; hostile headers
+    declaring larger images raise ``ValueError`` before any allocation,
+    and the zlib inflate is capped at the header-implied size (a zip
+    bomb cannot expand past it)."""
     ihdr = None
     palette = None
     idat = []
@@ -172,10 +183,26 @@ def decode_png(data: bytes) -> dict:
     channels = _CHANNELS[color]
     bpp = max(1, (depth * channels) // 8)  # filter offset unit, bytes
     dtype = np.uint16 if depth == 16 else np.uint8
-    raw = zlib.decompress(b"".join(idat))
+    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
+
+    # header-implied raw size, computed BEFORE any allocation/inflate
+    expected = 0
+    for x0, y0, dx, dy in passes:
+        pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+        ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+        if pw and ph:
+            expected += ph * ((pw * depth * channels + 7) // 8 + 1)
+    if expected > max_bytes:
+        raise ValueError(
+            f"PNG: declared image needs {expected} raw bytes "
+            f"> max_bytes={max_bytes} (hostile-header guard; raise "
+            "max_bytes for trusted oversized images)")
+    decomp = zlib.decompressobj()
+    raw = decomp.decompress(b"".join(idat), expected)
+    if decomp.decompress(decomp.unconsumed_tail, 1):
+        raise ValueError("PNG: decompressed size mismatch")
 
     pixels = np.zeros((height, width, channels), dtype)
-    passes = _ADAM7 if interlace == 1 else ((0, 0, 1, 1),)
     pos = 0
     for x0, y0, dx, dy in passes:
         pw = (width - x0 + dx - 1) // dx if width > x0 else 0

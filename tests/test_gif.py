@@ -249,3 +249,18 @@ def test_gif_frame_sample_stage(ray_session):
         assert (px == expected[frame_idx]).all()
     bad = out.loc[2]
     assert bad["n_frames_total"] == 0 and len(bad["frames"]) == 0
+
+
+def test_hostile_screen_and_frame_flood_rejected():
+    pal = np.array([[1, 2, 3]], np.uint8)
+    # 60000 x 60000 screen (~10.8 GB canvas)
+    screen = struct.pack("<HHBBB", 60000, 60000, 0x80, 0, 0)
+    gif = b"GIF89a" + screen + pal.tobytes() * 2 + b"\x3B"
+    with pytest.raises(ValueError, match="max_bytes"):
+        decode_gif(gif)
+    # frame flood: many tiny frames on a sizable screen
+    screen = struct.pack("<HHBBB", 200, 200, 0x80, 0, 0)
+    block = _image_block(np.zeros((1, 1), np.uint8))
+    gif = (b"GIF89a" + screen + pal.tobytes() * 2 + block * 50 + b"\x3B")
+    with pytest.raises(ValueError, match="frame-flood"):
+        decode_gif(gif, max_bytes=200 * 200 * 3 * 10)  # cap at 10 frames

@@ -256,3 +256,28 @@ def test_png_payload_fixture_matches_formula():
         assert decoded["height"][i].as_py() == h
         assert decoded["channels"][i].as_py() == 3
         assert decoded["pixel_sum"][i].as_py() == expect_sum
+
+
+def test_hostile_dimensions_rejected_before_allocation():
+    # 60000 x 60000 RGB header (needs ~10.8 GB) with a tiny IDAT: must
+    # raise the guard instantly, not allocate or inflate
+    ihdr = struct.pack(">IIBBBBB", 60000, 60000, 8, 2, 0, 0, 0)
+    data = (PNG_SIG + _chunk(b"IHDR", ihdr)
+            + _chunk(b"IDAT", zlib.compress(b"\x00" * 64))
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="max_bytes"):
+        decode_png(data)
+    # trusted override still applies the normal size checks
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(data, max_bytes=1 << 40)
+
+
+def test_zip_bomb_inflate_is_bounded():
+    # IDAT inflating far past the declared 2x2 image must fail the size
+    # check without materializing the bomb
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    bomb = zlib.compress(b"\x00" * (50 << 20))  # 50 MB of zeros
+    data = (PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", bomb)
+            + _chunk(b"IEND", b""))
+    with pytest.raises(ValueError, match="size mismatch"):
+        decode_png(data)
