@@ -77,11 +77,9 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
             continue
         if code == end:
             break
-        if prev is None:
+        if code in table:
             entry = table[code]
-        elif code in table:
-            entry = table[code]
-        elif code == next_code:
+        elif prev is not None and code == next_code:
             entry = prev + prev[:1]
         else:
             raise ValueError(f"GIF: invalid LZW code {code}")

@@ -349,8 +349,8 @@ class GifFrameSample:
         for p in batch["payload"].to_pylist():
             try:
                 frames, total = self.sample_one(p or b"")
-            except (ValueError, NotImplementedError):
-                frames, total = [], 0
+            except Exception:  # noqa: BLE001 — row-level degradation,
+                frames, total = [], 0  # same contract as DecodeImage
             frames_col.append(frames)
             totals.append(total)
         return batch.append_column(
