@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "chars_histogram",
     "corr_by_lang",
     "auto_salted_segment_value",
+    "encoded_docs",
+    "frequent_bigrams",
 ]
 
 

@@ -2228,16 +2228,23 @@ _HH_BIGRAM_CAPACITY = 4 * _HH_BIGRAM_PHI_INV
 
 
 def _bigram_series(texts: pd.Series) -> pd.Series:
-    """All within-document adjacent token pairs ('left right'), vectorized:
-    explode tokens, group-shift for the right neighbour, positional mask
-    (never index-aligned — the exploded index has duplicates)."""
+    """All within-document adjacent token pairs ('left right'), vectorized
+    positionally (no per-group dispatch): explode tokens, compute each
+    token's within-row position from the row lengths, and pair token i
+    with token i+1 wherever i+1 is still in the same row."""
     s = texts.fillna("").str.strip()
     s = s[s != ""]
-    ex = s.str.split(r"\s+").explode()
-    nxt = ex.groupby(level=0).shift(-1)
-    mask = nxt.notna().to_numpy()
-    return (pd.Series(ex.to_numpy()[mask], dtype="object")
-            + " " + pd.Series(nxt.to_numpy()[mask], dtype="object"))
+    toks = s.str.split(r"\s+")
+    counts = toks.str.len().to_numpy().astype(np.int64)
+    ex = toks.explode()
+    tokens = ex.to_numpy()[ex.notna().to_numpy()]
+    pos = np.arange(counts.sum()) - np.repeat(np.cumsum(counts) - counts,
+                                              counts)
+    left_mask = pos < np.repeat(counts - 1, counts)
+    left = tokens[left_mask]
+    right = tokens[np.flatnonzero(left_mask) + 1]
+    return pd.Series(left, dtype="object") + " " + pd.Series(right,
+                                                             dtype="object")
 
 
 @register(
