@@ -124,9 +124,19 @@ def _registry() -> tuple[dict, dict]:
                "vocab_ids",            # vocab build -> encoded_docs
                                        # (superset: builds the vocab AND
                                        # broadcast-encodes with it)
-               "salted_join_priority") # hand-listed skew-salted join ->
+               "salted_join_priority", # hand-listed skew-salted join ->
                                        # auto_salted_segment_value (same
                                        # join plan, hot keys auto-detected)
+               # round-5 late rotation: two NEW mechanisms (grouped-argmax
+               # keep-best dedup; UNPIVOT/melt reshape) enter the window;
+               # these two yield their slots:
+               "quality_scores",       # scoring kernel -> dedup_keep_best
+                                       # + unpivot_quality (both compose
+                                       # the SAME kernel + SQL core and
+                                       # add a mechanism on top)
+               "bag_except")           # multiset partial-count exchange
+                                       # -> bag_intersect (identical plan,
+                                       # different combine arithmetic)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

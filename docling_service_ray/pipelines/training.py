@@ -77,9 +77,13 @@ def fingerprints(sf_dir: str):
                           zero_copy_batch=True)
 
 
-@register(
-    "quality_scores",
-    "WITH t AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars, "
+# The composite quality formula as a reusable subquery (carries `text`
+# through so downstream oracles can fingerprint/group on it). Shared by
+# quality_scores, dedup_keep_best and unpivot_quality so the three stay
+# bit-identical by construction.
+_QUALITY_CORE_SQL = (
+    "WITH __t AS (SELECT doc_id, text, "
+    "CAST(length(text) AS BIGINT) AS n_chars, "
     "CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS n_spaces, "
     "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) "
     "AS n_digits, "
@@ -92,17 +96,24 @@ def fingerprints(sf_dir: str):
     "ELSE len(regexp_split_to_array("
     "regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')) END AS n_tokens "
     "FROM documents), "
-    "u AS (SELECT doc_id, "
+    "__u AS (SELECT doc_id, text, "
     "(n_spaces * 1000) // GREATEST(n_chars, 1) AS space_pm, "
     "(n_digits * 1000) // GREATEST(n_chars, 1) AS digit_pm, "
     "(stop_hits * 1000) // GREATEST(n_tokens, 1) AS stopword_pm, "
     "CASE WHEN n_chars BETWEEN 100 AND 20000 THEN 1000 ELSE 0 END AS len_score_pm "
-    "FROM t) "
-    "SELECT doc_id, CAST(space_pm AS BIGINT) AS space_pm, "
+    "FROM __t) "
+    "SELECT doc_id, text, CAST(space_pm AS BIGINT) AS space_pm, "
     "CAST(digit_pm AS BIGINT) AS digit_pm, "
     "CAST(stopword_pm AS BIGINT) AS stopword_pm, "
     "CAST(GREATEST(LEAST(space_pm, 200) * 2 + LEAST(stopword_pm, 250) * 2 "
-    "+ len_score_pm - digit_pm, 0) AS BIGINT) AS quality_pm FROM u",
+    "+ len_score_pm - digit_pm, 0) AS BIGINT) AS quality_pm FROM __u"
+)
+
+
+@register(
+    "quality_scores",
+    "SELECT doc_id, space_pm, digit_pm, stopword_pm, quality_pm "
+    f"FROM ({_QUALITY_CORE_SQL}) __q",
 )
 def quality_scores(sf_dir: str):
     """Composite integer fixed-point quality score (training-data filter
@@ -112,6 +123,63 @@ def quality_scores(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return ds.map_batches(quality_score_arrow, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+@register(
+    "dedup_keep_best",
+    "SELECT doc_id, quality_pm FROM ("
+    "SELECT doc_id, quality_pm, ROW_NUMBER() OVER ("
+    "PARTITION BY substr(regexp_replace(lower(text), '\\s+', ' ', 'g'), 1, 16) "
+    "ORDER BY quality_pm DESC, doc_id) AS rn "
+    f"FROM ({_QUALITY_CORE_SQL}) __q) __r WHERE rn = 1",
+)
+def dedup_keep_best(sf_dir: str):
+    """Keep-BEST dedup (curation counterpart of first-wins dedup_exact):
+    documents sharing a normalized 16-char prefix fingerprint collapse to
+    the member with the highest quality_pm, ties to the smallest doc_id —
+    grouped argmax with a total deterministic winner rule. One shuffle;
+    only (id, fingerprint, score) rows move, never the text."""
+    from ..stages.dedup import keep_best_dedup
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return keep_best_dedup(ds)
+
+
+@register(
+    "unpivot_quality",
+    f"WITH __q AS ({_QUALITY_CORE_SQL}) "
+    "SELECT doc_id, 'space_pm' AS metric, space_pm AS value FROM __q "
+    "UNION ALL SELECT doc_id, 'digit_pm' AS metric, digit_pm AS value FROM __q "
+    "UNION ALL SELECT doc_id, 'stopword_pm' AS metric, stopword_pm AS value "
+    "FROM __q "
+    "UNION ALL SELECT doc_id, 'quality_pm' AS metric, quality_pm AS value "
+    "FROM __q",
+)
+def unpivot_quality(sf_dir: str):
+    """UNPIVOT/melt — the inverse reshape of event_type_pivot: the four
+    wide per-document score columns become (doc_id, metric, value) long
+    rows. Map-only and zero-shuffle: each Arrow batch emits one slice per
+    metric column, reusing the doc_id and value buffers zero-copy (the
+    only new allocation is the constant metric column)."""
+    from ..stages.text_analysis import quality_score_arrow
+
+    METRICS = ("space_pm", "digit_pm", "stopword_pm", "quality_pm")
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def melt(tbl: pa.Table) -> pa.Table:
+        scored = quality_score_arrow(tbl)
+        n = scored.num_rows
+        parts = [
+            pa.table({
+                "doc_id": scored["doc_id"],
+                "metric": pa.repeat(pa.scalar(m, pa.string()), n),
+                "value": scored[m],
+            })
+            for m in METRICS
+        ]
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 @register(

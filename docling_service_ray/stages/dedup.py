@@ -217,6 +217,65 @@ def incremental_dedup(ds, seen, *, id_col: str = "doc_id",
     return tagged.groupby(_B).map_groups(mark_bucket, batch_format="pyarrow")
 
 
+def keep_best_dedup(ds, *, id_col: str = "doc_id", text_col: str = "text",
+                    prefix_chars: int = 16, n_buckets: int = 64):
+    """Keep-BEST dedup: among documents sharing a normalized prefix
+    fingerprint (lowercased, whitespace-collapsed first ``prefix_chars``
+    chars — the CCNet-style cheap near-identity key), keep the member with
+    the highest composite quality score; ties break to the smallest id.
+
+    This is the curation counterpart of first-wins exact dedup
+    (:func:`exact_dedup_keep_min`, reference
+    ``scripts/r2_migrate_xxhash.py:256-308``): a re-crawled page whose
+    boilerplate variant scores lower than the clean variant loses to it
+    even when it arrived first. The winner rule (max ``quality_pm``, then
+    min id) is total and deterministic, so output is independent of block
+    layout and parallelism.
+
+    Plan shape (one shuffle): map-only Arrow scoring + fingerprinting,
+    coarse fingerprint-bucket groupby (same co-location trick as
+    :func:`exact_dedup_actions` — never one dispatch per group), then a
+    per-bucket vectorized sort + first-row-per-group. Only
+    (id, fingerprint, score) rows move — never the text."""
+    import pyarrow.compute as pc
+
+    from ..functions.hashing import bucket_column
+    from .text_analysis import quality_score_arrow
+
+    id_type = _id_arrow_type(ds, id_col)
+
+    def score_and_key(tbl: pa.Table) -> pa.Table:
+        s = pc.fill_null(pc.cast(tbl[text_col], pa.string()), "")
+        norm = pc.replace_substring_regex(pc.utf8_lower(s), r"\s+", " ")
+        grp = pc.utf8_slice_codeunits(norm, 0, prefix_chars)
+        keyed = tbl.append_column("__grp", grp)
+        scored = quality_score_arrow(keyed, text_col=text_col,
+                                     keep=(id_col, "__grp"))
+        return scored.select([id_col, "__grp", "quality_pm"])
+
+    scored = ds.map_batches(score_and_key, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    bucketed = scored.map_batches(
+        lambda t: bucket_column(t, "__grp", n_buckets, "__kb"),
+        batch_format="pyarrow",
+    )
+
+    def best_per_group(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__kb"]).to_pandas()
+        best = df.sort_values(
+            ["__grp", "quality_pm", id_col],
+            ascending=[True, False, True], kind="mergesort",
+        ).drop_duplicates("__grp")
+        return pa.table({
+            id_col: _ids_array(best[id_col].to_numpy(), id_type),
+            "quality_pm": pa.array(best["quality_pm"].to_numpy(), pa.int64()),
+        })
+
+    return bucketed.groupby("__kb").map_groups(
+        best_per_group, batch_format="pyarrow"
+    )
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup
 # ---------------------------------------------------------------------------

@@ -357,3 +357,69 @@ def test_verify_pairs_guard_passes_under_cap(docs_ds):
     ds, _ = docs_ds
     pairs = minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
     assert (0, 1) in set(zip(pairs["a"], pairs["b"]))
+
+
+# ---------------------------------------------------------------------------
+# keep-best dedup (grouped argmax by quality, deterministic tie-break)
+# ---------------------------------------------------------------------------
+
+_PREFIX_PROSE = (
+    "the shared prefix of these documents is identical and the rest of "
+    "the body flows in plain prose with the usual stopwords in it " * 3
+)
+
+
+@pytest.fixture(scope="module")
+def keep_best_ds(ray_session):
+    import ray.data as rd
+
+    rows = [
+        # group "the shared prefi…": 10 is a digit-heavy low-quality
+        # variant, 11/12 are byte-identical high-quality variants (tie)
+        {"doc_id": 10, "text": "The  Shared\tPrefix " + "1234567890 " * 30},
+        {"doc_id": 11, "text": _PREFIX_PROSE},
+        {"doc_id": 12, "text": _PREFIX_PROSE},
+        # whitespace/case variant of the same 16-char normalized prefix
+        {"doc_id": 13, "text": "the   SHARED prefix but this one diverges "
+                               "after the fingerprint window entirely and "
+                               "keeps talking about other things in the end"},
+        # singleton group
+        {"doc_id": 14, "text": "a completely different opening sentence "
+                               "that shares no prefix with the others at all"},
+    ]
+    return rd.from_items(rows), rows
+
+
+def test_keep_best_winner_and_tiebreak(keep_best_ds):
+    """Highest quality_pm wins its fingerprint group; byte-identical
+    quality ties break to the smallest id; singletons survive."""
+    from docling_service_ray.stages.dedup import keep_best_dedup
+    from docling_service_ray.stages.text_analysis import quality_score_batch
+
+    ds, rows = keep_best_ds
+    out = keep_best_dedup(ds).to_pandas().sort_values("doc_id")
+    kept = list(out["doc_id"])
+    # 10/11/12/13 share the normalized prefix "the shared prefi";
+    # 11 has the best score (prose beats digit soup) and beats 12 on id
+    assert kept == [11, 14]
+    # reported score equals the library kernel's score for the winner
+    df = pd.DataFrame(rows)
+    scores = quality_score_batch(df).set_index("doc_id")["quality_pm"]
+    got = out.set_index("doc_id")["quality_pm"]
+    assert int(got[11]) == int(scores[11])
+    assert int(scores[11]) > int(scores[10])
+
+
+def test_keep_best_parallelism_invariant(keep_best_ds):
+    """Output is independent of block layout (the winner rule is total)."""
+    from docling_service_ray.stages.dedup import keep_best_dedup
+
+    ds, _ = keep_best_ds
+    a = keep_best_dedup(ds).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = (
+        keep_best_dedup(ds.repartition(7))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
