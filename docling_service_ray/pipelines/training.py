@@ -833,6 +833,45 @@ def approx_distinct_tokens(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training + encoding (iterative; rows-only — the merge
+# selection is a learned artifact, not SQL-expressible; exact correctness
+# vs an independent reference trainer in tests/test_bpe.py)
+# ---------------------------------------------------------------------------
+@register("bpe_merges")  # rows-only (iterative trainer)
+def bpe_merges(sf_dir: str):
+    """Learn 16 BPE merges over the documents corpus (word-frequency
+    formulation: corpus collapses once to a vocabulary-sized (word, count)
+    table; every merge round runs over that table only — see
+    stages/bpe.py). Deterministic: winner rule is total (max count, then
+    lexicographically smallest pair)."""
+    from ..stages.bpe import bpe_train
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    return bpe_train(ds, n_merges=16)
+
+
+@register("bpe_encoded_lengths")  # rows-only (depends on learned merges)
+def bpe_encoded_lengths(sf_dir: str):
+    """Train BPE merges, broadcast the merge table once (ray.put), encode
+    every document in an actor pool with a per-actor word→tokens memo;
+    returns (doc_id, n_words, n_bpe_tokens). The compression ratio
+    n_bpe_tokens/n_words < chars/words is the trainer's fitness signal."""
+    import ray
+
+    from ..stages.bpe import BpeEncode, bpe_train
+
+    train = read_table(sf_dir, "documents", columns=["text"])
+    merges_ref = ray.put(bpe_train(train, n_merges=16))
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        BpeEncode,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pandas",
+        concurrency=(1, 4),
+    )
+
+
+# ---------------------------------------------------------------------------
 # multimodal plumbing (codec stubbed; schema/actor plumbing real — rows-only)
 # ---------------------------------------------------------------------------
 @register(
