@@ -77,6 +77,10 @@ BENCH_QUERIES = [
     "auto_salted_segment_value",
     "encoded_docs",
     "frequent_bigrams",
+    "dedup_keep_best",
+    "unpivot_quality",
+    "bpe_merges",
+    "bpe_encoded_lengths",
 ]
 
 
