@@ -302,15 +302,20 @@ class BpeEncode:
         return toks
 
     def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n_tokens = np.zeros(len(batch), dtype=np.int64)
-        n_words = np.zeros(len(batch), dtype=np.int64)
+        # Zipf-vectorized: encode each DISTINCT word in the batch once,
+        # then the per-doc totals are a dict-map + groupby sum — the
+        # merge loop runs O(unique words), not O(corpus words).
         texts = batch[self.text_col].fillna("").str.strip()
-        for i, t in enumerate(texts):
-            if not t:
-                continue
-            words = t.split()
-            n_words[i] = len(words)
-            n_tokens[i] = sum(len(self._encode(w)) for w in words)
+        words = texts.str.split().explode().dropna()
+        n_words = words.groupby(level=0).size().reindex(
+            batch.index, fill_value=0).to_numpy(dtype=np.int64)
+        tok_len = {w: len(self._encode(w)) for w in pd.unique(words)} \
+            if len(words) else {}
+        n_tokens = (
+            words.map(tok_len).groupby(level=0).sum()
+            .reindex(batch.index, fill_value=0)
+            .to_numpy(dtype=np.int64)
+        ) if len(words) else np.zeros(len(batch), dtype=np.int64)
         return pd.DataFrame({
             self.id_col: batch[self.id_col].to_numpy(),
             "n_words": n_words,
