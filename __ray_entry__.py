@@ -134,9 +134,16 @@ def _registry() -> tuple[dict, dict]:
                                        # + unpivot_quality (both compose
                                        # the SAME kernel + SQL core and
                                        # add a mechanism on top)
-               "bag_except")           # multiset partial-count exchange
+               "bag_except",           # multiset partial-count exchange
                                        # -> bag_intersect (identical plan,
                                        # different combine arithmetic)
+               "passage_dedup")        # passage-window hash first-wins ->
+                                       # incremental_dedup (hash-grouped
+                                       # first-wins) + chunk_documents
+                                       # (the windowing step); slot goes
+                                       # to pagerank (NEW mechanism:
+                                       # integer fixed-point iterative
+                                       # rank, partitioned-state rounds)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "unpivot_quality",
     "bpe_merges",
     "bpe_encoded_lengths",
+    "pagerank",
 ]
 
 

@@ -547,3 +547,223 @@ def cluster_representatives(components, *, keep: str = "min"):
         ),
         batch_format="pyarrow",
     )
+
+
+# ---------------------------------------------------------------------------
+# PageRank (integer fixed-point, partitioned-state rounds)
+# ---------------------------------------------------------------------------
+
+_PR_BUCKET = "__pr_bucket"
+
+
+def _split_refs_by_bucket_tbl(ds, n_buckets: int, empty: pa.Table,
+                              key: str = "node"):
+    """Generalization of :func:`_split_refs_by_bucket` for tables whose
+    columns are not all the id type: hash-partition by ``key`` ONCE into
+    one consolidated Arrow table ref per bucket."""
+    import pyarrow.compute as pc
+    import ray
+
+    cols = empty.column_names
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, key, n_buckets, _PR_BUCKET),
+        batch_format="pyarrow",
+    )
+
+    @ray.remote
+    def split(tbl: pa.Table):
+        if tbl.num_rows == 0 or _PR_BUCKET not in tbl.column_names:
+            out = [empty] * n_buckets
+            return out if n_buckets > 1 else out[0]
+        out = []
+        for b in range(n_buckets):
+            sub = tbl.filter(pc.equal(tbl[_PR_BUCKET], b))
+            out.append(sub.drop_columns([_PR_BUCKET]).select(cols))
+        return out if n_buckets > 1 else out[0]
+
+    @ray.remote
+    def concat(*tbls: pa.Table) -> pa.Table:
+        tbls = [t.cast(empty.schema) for t in tbls if t.num_rows]
+        if not tbls:
+            return empty
+        return pa.concat_tables(tbls).combine_chunks()
+
+    block_refs = bucketed.to_arrow_refs()
+    split_refs = [
+        split.options(num_returns=n_buckets if n_buckets > 1 else 1).remote(r)
+        for r in block_refs
+    ]
+    if n_buckets == 1:
+        split_refs = [[r] for r in split_refs]
+    return [
+        concat.remote(*[split_refs[blk][b] for blk in range(len(block_refs))])
+        for b in range(n_buckets)
+    ]
+
+
+def pagerank_int(edges, nodes, *, src: str = "a", dst: str = "b",
+                 node_col: str = "node", iters: int = 10,
+                 damping_num: int = 85, damping_den: int = 100,
+                 scale: int = 1_000_000, n_buckets: int = 16):
+    """Distributed PageRank with INTEGER fixed-point arithmetic — every
+    quantity is an int64 count of rank units (``scale`` units per node
+    initially), so the result is bitwise deterministic regardless of
+    block layout, summation order, or parallelism (float PageRank is
+    not: float addition does not associate).
+
+    Update rule, per round (exactly ``iters`` rounds — fixed iteration
+    count, no convergence test, so an external oracle can reproduce the
+    result exactly):
+
+        send(v->u)  = (damping_num * r[v]) // (damping_den * outdeg(v))
+        dang        = sum over outdeg==0 of (damping_num * r[v]) // damping_den
+        r'[u]       = tele + dang // N + sum of incoming send
+        tele        = (scale * (damping_den - damping_num)) // damping_den
+
+    Floor losses are dropped (deterministically) rather than
+    redistributed; both the SQL oracle and the reference implementation
+    in tests use the identical rule.
+
+    Scale shape — the same partitioned-state regime as
+    :func:`_partitioned_cc_rounds`: edges (by source) and per-node state
+    (node, outdeg, rank) are hash-split ONCE into per-bucket object-store
+    tables; each round moves only the (dst, contribution-partial) rows
+    between buckets — already combined per (src-bucket, dst) — plus ONE
+    int per bucket (the dangling-mass partial) to the driver. The driver
+    never sees a node table. Per-round Dataset executions: zero.
+
+    Contract: every ``src``/``dst`` id must appear in ``nodes`` (sources
+    are mapped against co-bucketed state and would KeyError; destinations
+    outside ``nodes`` are dropped with their rank mass). Multi-edges send
+    multiply; self-loops are allowed.
+
+    Returns a Dataset of ``(node, rank_ppm)``.
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    id_type = pa.int64()
+    n_total = nodes.count()
+    if n_total == 0:
+        return rd.from_arrow(pa.table({"node": pa.array([], id_type),
+                                       "rank_ppm": pa.array([], pa.int64())}))
+    tele = (scale * (damping_den - damping_num)) // damping_den
+
+    e = edges.map_batches(
+        lambda t: pa.table({"node": t[src].cast(id_type),
+                            "dst": t[dst].cast(id_type)}),
+        batch_format="pyarrow",
+    )
+    empty_edges = pa.table({"node": pa.array([], id_type),
+                            "dst": pa.array([], id_type)})
+    edge_parts = _split_refs_by_bucket_tbl(e, n_buckets, empty_edges)
+
+    def deg_partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or "node" not in t.column_names:
+            return pa.table({"node": pa.array([], id_type),
+                             "outdeg": pa.array([], pa.int64())})
+        vc = pd.Series(t["node"].to_numpy(zero_copy_only=False)).value_counts()
+        return pa.table({"node": pa.array(vc.index.to_numpy(), id_type),
+                         "outdeg": pa.array(vc.to_numpy(), pa.int64())})
+
+    deg = e.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("outdeg", alias_name="outdeg"))
+    empty_deg = pa.table({"node": pa.array([], id_type),
+                          "outdeg": pa.array([], pa.int64())})
+    deg_parts = _split_refs_by_bucket_tbl(deg, n_buckets, empty_deg)
+
+    nd = nodes.map_batches(
+        lambda t: pa.table({"node": t[node_col].cast(id_type)}),
+        batch_format="pyarrow",
+    )
+    empty_nodes = pa.table({"node": pa.array([], id_type)})
+    node_parts = _split_refs_by_bucket_tbl(nd, n_buckets, empty_nodes)
+
+    @ray.remote
+    def init_state(node_tbl: pa.Table, deg_tbl: pa.Table) -> pa.Table:
+        ids = node_tbl["node"].to_numpy(zero_copy_only=False)
+        od = (
+            pd.Series(ids)
+            .map(pd.Series(deg_tbl["outdeg"].to_numpy(zero_copy_only=False),
+                           index=deg_tbl["node"].to_numpy(zero_copy_only=False)))
+            .fillna(0)
+            .to_numpy(dtype=np.int64)
+        ) if deg_tbl.num_rows else np.zeros(len(ids), np.int64)
+        return pa.table({
+            "node": pa.array(ids, id_type),
+            "outdeg": pa.array(od, pa.int64()),
+            "rank_ppm": pa.array(np.full(len(ids), scale, np.int64)),
+        })
+
+    state_parts = [init_state.remote(node_parts[b], deg_parts[b])
+                   for b in range(n_buckets)]
+
+    empty_contrib = pa.table({"node": pa.array([], id_type),
+                              "contrib": pa.array([], pa.int64())})
+
+    @ray.remote
+    def push(edge_tbl: pa.Table, state_tbl: pa.Table):
+        """Per-source-bucket sends, pre-combined per (this bucket, dst),
+        pre-split by the destination's bucket; last return is this
+        bucket's dangling-mass partial."""
+        import pyarrow.compute as pc
+
+        out = [empty_contrib] * n_buckets
+        rank = state_tbl["rank_ppm"].to_numpy(zero_copy_only=False)
+        od = state_tbl["outdeg"].to_numpy(zero_copy_only=False)
+        dang = int(np.sum((damping_num * rank[od == 0]) // damping_den))
+        if edge_tbl.num_rows and state_tbl.num_rows:
+            smap = pd.DataFrame(
+                {"r": rank, "o": od},
+                index=state_tbl["node"].to_numpy(zero_copy_only=False),
+            )
+            s = edge_tbl["node"].to_numpy(zero_copy_only=False)
+            d = edge_tbl["dst"].to_numpy(zero_copy_only=False)
+            rs = smap["r"].loc[s].to_numpy()
+            os_ = smap["o"].loc[s].to_numpy()
+            send = (damping_num * rs) // (damping_den * os_)
+            g = pd.Series(send, index=d).groupby(level=0, sort=False).sum()
+            tgt = pa.table({"node": pa.array(g.index.to_numpy(), id_type),
+                            "contrib": pa.array(g.to_numpy(), pa.int64())})
+            tgt = bucket_column(tgt, "node", n_buckets, _PR_BUCKET)
+            out = [
+                tgt.filter(pc.equal(tgt[_PR_BUCKET], b))
+                .drop_columns([_PR_BUCKET])
+                for b in range(n_buckets)
+            ]
+        return (*out, dang)
+
+    @ray.remote
+    def update(state_tbl: pa.Table, per_node: int, *contribs) -> pa.Table:
+        ids = state_tbl["node"].to_numpy(zero_copy_only=False)
+        new = np.full(len(ids), tele + per_node, np.int64)
+        live = [c for c in contribs if c.num_rows]
+        if live and len(ids):
+            cdf = pd.concat([c.to_pandas() for c in live])
+            cmap = cdf.groupby("node", sort=False)["contrib"].sum()
+            add = pd.Series(ids).map(cmap).fillna(0).to_numpy(dtype=np.int64)
+            new = new + add
+        return pa.table({
+            "node": pa.array(ids, id_type),
+            "outdeg": state_tbl["outdeg"],
+            "rank_ppm": pa.array(new, pa.int64()),
+        })
+
+    for _ in range(iters):
+        outs = [
+            push.options(num_returns=n_buckets + 1).remote(
+                edge_parts[b], state_parts[b])
+            for b in range(n_buckets)
+        ]
+        dang_total = sum(ray.get([outs[b][n_buckets]
+                                  for b in range(n_buckets)]))
+        per_node = dang_total // n_total
+        state_parts = [
+            update.remote(state_parts[b], per_node,
+                          *[outs[s][b] for s in range(n_buckets)])
+            for b in range(n_buckets)
+        ]
+
+    return rd.from_arrow_refs(state_parts).select_columns(
+        ["node", "rank_ppm"])

@@ -1529,6 +1529,60 @@ def bpe_token_counts(sf_dir: str):
     "SELECT doc_id AS node, CAST(doc_id - doc_id % 4 AS BIGINT) AS component "
     "FROM documents",
 )
+@register(
+    "pagerank",
+    # Star graph within each 4-block of contiguous doc ids (d -> d - d%4
+    # for d % 4 != 0; heads are dangling). By class symmetry every
+    # non-head has the same rank, every full head (3 in-neighbours) has
+    # the same rank, and the tail head (ktail = N-1-4*(H-1) in-neighbours)
+    # its own — so the oracle reproduces the ENGINE'S exact integer
+    # fixed-point iteration with a 3-scalar recursive CTE (the engine
+    # runs the general distributed algorithm; the oracle exploits the
+    # closed-form class structure, same trick as connected_components).
+    "WITH RECURSIVE p AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+    "CAST((COUNT(*) + 3) // 4 AS BIGINT) AS h, "
+    "CAST(COUNT(*) - 1 - 4 * ((COUNT(*) + 3) // 4 - 1) AS BIGINT) AS ktail "
+    "FROM documents), "
+    "it(i, rn, rh3, rhk) AS ("
+    "SELECT 0, CAST(1000000 AS BIGINT), CAST(1000000 AS BIGINT), "
+    "CAST(1000000 AS BIGINT) "
+    "UNION ALL SELECT i + 1, "
+    "150000 + ((SELECT h - 1 FROM p) * ((85 * rh3) // 100) "
+    "+ ((85 * rhk) // 100)) // (SELECT n FROM p), "
+    "150000 + ((SELECT h - 1 FROM p) * ((85 * rh3) // 100) "
+    "+ ((85 * rhk) // 100)) // (SELECT n FROM p) + 3 * ((85 * rn) // 100), "
+    "150000 + ((SELECT h - 1 FROM p) * ((85 * rh3) // 100) "
+    "+ ((85 * rhk) // 100)) // (SELECT n FROM p) "
+    "+ (SELECT ktail FROM p) * ((85 * rn) // 100) "
+    "FROM it WHERE i < 10) "
+    "SELECT doc_id AS node, CAST(CASE "
+    "WHEN doc_id % 4 <> 0 THEN (SELECT rn FROM it WHERE i = 10) "
+    "WHEN doc_id = 4 * ((SELECT h FROM p) - 1) "
+    "THEN (SELECT rhk FROM it WHERE i = 10) "
+    "ELSE (SELECT rh3 FROM it WHERE i = 10) END AS BIGINT) AS rank_ppm "
+    "FROM documents",
+)
+def pagerank_query(sf_dir: str):
+    """Distributed integer fixed-point PageRank (10 rounds, damping
+    85/100, partitioned-state regime — see functions/graph.py
+    ``pagerank_int``) on a deterministic star-of-4 graph derived from
+    doc ids. The oracle knows the per-class closed form; the engine runs
+    the general algorithm over the explicit edge list."""
+    from ..functions.graph import pagerank_int
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        d = d[d % 4 != 0]
+        return pa.table({"src": pa.array(d, pa.int64()),
+                         "dst": pa.array(d - d % 4, pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return pagerank_int(edges, ds, src="src", dst="dst",
+                        node_col="doc_id", iters=10)
+
+
 def connected_components_query(sf_dir: str):
     """Distributed connected components (min-label propagation, delta
     frontiers) on a deterministic chain graph derived from doc ids —
