@@ -1521,15 +1521,6 @@ def bpe_token_counts(sf_dir: str):
 # graph: connected components / duplicate clusters
 # ---------------------------------------------------------------------------
 @register(
-    "connected_components",
-    # chain edges (d, d-1) for d % 4 != 0 over contiguous doc ids =>
-    # components are runs of 4 consecutive ids; min member = d - d % 4
-    # (diameter 3 — the duplicate-cluster regime the operator targets;
-    # each extra hop costs a full propagation round = 2 shuffles)
-    "SELECT doc_id AS node, CAST(doc_id - doc_id % 4 AS BIGINT) AS component "
-    "FROM documents",
-)
-@register(
     "pagerank",
     # Star graph within each 4-block of contiguous doc ids (d -> d - d%4
     # for d % 4 != 0; heads are dangling). By class symmetry every
@@ -1583,6 +1574,15 @@ def pagerank_query(sf_dir: str):
                         node_col="doc_id", iters=10)
 
 
+@register(
+    "connected_components",
+    # chain edges (d, d-1) for d % 4 != 0 over contiguous doc ids =>
+    # components are runs of 4 consecutive ids; min member = d - d % 4
+    # (diameter 3 — the duplicate-cluster regime the operator targets;
+    # each extra hop costs a full propagation round = 2 shuffles)
+    "SELECT doc_id AS node, CAST(doc_id - doc_id % 4 AS BIGINT) AS component "
+    "FROM documents",
+)
 def connected_components_query(sf_dir: str):
     """Distributed connected components (min-label propagation, delta
     frontiers) on a deterministic chain graph derived from doc ids —
