@@ -137,13 +137,19 @@ def _registry() -> tuple[dict, dict]:
                "bag_except",           # multiset partial-count exchange
                                        # -> bag_intersect (identical plan,
                                        # different combine arithmetic)
-               "passage_dedup")        # passage-window hash first-wins ->
+               "passage_dedup",        # passage-window hash first-wins ->
                                        # incremental_dedup (hash-grouped
                                        # first-wins) + chunk_documents
                                        # (the windowing step); slot goes
                                        # to pagerank (NEW mechanism:
                                        # integer fixed-point iterative
                                        # rank, partitioned-state rounds)
+               "frequent_tokens")      # Misra-Gries heavy hitters ->
+                                       # frequent_bigrams (superset: the
+                                       # SAME key-agnostic MG plan over a
+                                       # COMPOSED key); slot goes to
+                                       # funnel_stages (NEW mechanism:
+                                       # staged conditional mins)
     ordered = {k: queries[k] for k in flagship if k in queries}
     ordered.update({k: queries[k] for k in recall if k in queries})
     ordered.update({k: v for k, v in queries.items()

@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "bpe_merges",
     "bpe_encoded_lengths",
     "pagerank",
+    "funnel_stages",
 ]
 
 

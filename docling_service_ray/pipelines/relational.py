@@ -1361,6 +1361,73 @@ def event_type_pivot(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Funnel analysis: staged conditional mins per user (view -> click ->
+# purchase, each stage's clock starting strictly after the previous
+# stage's first event) — the standard product-analytics sequence op.
+# ---------------------------------------------------------------------------
+@register(
+    "funnel_stages",
+    "WITH u AS (SELECT DISTINCT user_id FROM events), "
+    "s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events "
+    "WHERE event_type = 'view' GROUP BY user_id), "
+    "s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e "
+    "JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1 "
+    "WHERE e.event_type = 'click' GROUP BY e.user_id), "
+    "s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e "
+    "JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2 "
+    "WHERE e.event_type = 'purchase' GROUP BY e.user_id) "
+    "SELECT u.user_id, CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3 "
+    "WHEN s2.user_id IS NOT NULL THEN 2 "
+    "WHEN s1.user_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage "
+    "FROM u LEFT JOIN s1 ON u.user_id = s1.user_id "
+    "LEFT JOIN s2 ON u.user_id = s2.user_id "
+    "LEFT JOIN s3 ON u.user_id = s3.user_id",
+)
+def funnel_stages(sf_dir: str):
+    """Per-user funnel depth over the ordered event stream (0 = never
+    viewed, 3 = completed view→click→purchase in strict timestamp order).
+    One user-bucket shuffle; each bucket resolves every user's staged
+    mins VECTORIZED (three filtered grouped mins, each gated on the
+    previous stage's time via a user-map), never a per-user loop. The
+    strict `>` gate means a click sharing the first view's timestamp
+    does not advance the funnel — matching the SQL exactly."""
+    from ..functions.hashing import bucket_column
+
+    steps = ("view", "click", "purchase")
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+    bucketed = ds.map_batches(
+        lambda t: bucket_column(t, "user_id", 32, "__fb"),
+        batch_format="pyarrow",
+    )
+
+    def funnel_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__fb"]).to_pandas()
+        users = pd.unique(df["user_id"])
+        stage = pd.Series(np.zeros(len(users), np.int64), index=users)
+        prev = None  # user -> time the previous stage completed
+        for depth, et in enumerate(steps, start=1):
+            sub = df[df["event_type"] == et]
+            if prev is not None:
+                gate = sub["user_id"].map(prev)
+                sub = sub[gate.notna().to_numpy()
+                          & (sub["ts"] > gate).to_numpy()]
+            if len(sub) == 0:
+                break
+            cur = sub.groupby("user_id")["ts"].min()
+            stage.loc[cur.index] = depth
+            prev = cur
+        return pa.table({
+            "user_id": pa.array(stage.index.to_numpy(), pa.int64()),
+            "stage": pa.array(stage.to_numpy(), pa.int64()),
+        })
+
+    return bucketed.groupby("__fb").map_groups(
+        funnel_bucket, batch_format="pyarrow"
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP (hierarchical subtotals): region -> nation -> grand total, computed
 # WITHOUT a driver pass: each partial emits all three hierarchy levels
 # (they are Sum-able), so one groupby finishes every level at once.

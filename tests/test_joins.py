@@ -228,3 +228,49 @@ def test_dense_lookup_builds_distributed(ray_session):
     arr = ray.get(dense_lookup_array_ref(ds, "k", "v"))
     assert arr[1] == 11 and arr[3] == 33 and arr[5] == 55
     assert arr[0] == -1 and arr[2] == -1 and arr[4] == -1
+
+
+# ---------------------------------------------------------------------------
+# funnel analysis (staged conditional mins)
+# ---------------------------------------------------------------------------
+
+def test_funnel_stages_planted(ray_session, tmp_path):
+    """Planted users covering every funnel depth, tie-timestamps (strict
+    `>` must NOT advance), out-of-order arrival, and repeat events."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from docling_service_ray.pipelines.relational import funnel_stages
+
+    T = pd.Timestamp("2026-01-01")
+    s = pd.Timedelta(seconds=1)
+    rows = []
+
+    def ev(u, et, t):
+        rows.append({"event_id": len(rows), "ts": t, "user_id": u,
+                     "event_type": et, "value": 0.0, "props": ""})
+
+    # u1: full funnel, delivered out of order
+    ev(1, "purchase", T + 5 * s); ev(1, "view", T); ev(1, "click", T + 2 * s)
+    # u2: click at the SAME ts as first view -> strict gate blocks stage 2
+    ev(2, "view", T); ev(2, "click", T)
+    # u3: view then purchase but never clicks -> stage 1
+    ev(3, "view", T); ev(3, "purchase", T + 9 * s)
+    # u4: clicks/purchases but never views -> stage 0
+    ev(4, "click", T); ev(4, "purchase", T + s)
+    # u5: LATER click qualifies even though an earlier one predates view
+    ev(5, "click", T - 5 * s); ev(5, "view", T); ev(5, "click", T + s)
+    ev(5, "purchase", T + 2 * s)
+    # u6: purchase lands between view and click -> only stage 2
+    ev(6, "view", T); ev(6, "purchase", T + s); ev(6, "click", T + 2 * s)
+
+    df = pd.DataFrame(rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df.astype({"ts": "datetime64[us]"}),
+                             preserve_index=False),
+        sf / "events.parquet",
+    )
+    out = funnel_stages(str(sf)).to_pandas().set_index("user_id")["stage"]
+    assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 3, 6: 2}
