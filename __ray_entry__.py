@@ -72,10 +72,11 @@ def _registry() -> tuple[dict, dict]:
     # in CORRECTNESS_r04 give up their slots. Every arrow below names a
     # query that is IN-window this round.
     demoted = ("set_intersect",        # set ops -> bag_intersect
-               "set_except",           # set ops -> bag_except
+               "set_except",           # set ops -> bag_intersect
+                                       # (same count-partial exchange)
                "set_union",            # count-partial set ops -> schema_union
                "chars_by_source",      # grouped sum -> doc_stats_by_lang
-               "distinct_token_count", # vocab pre-agg -> frequent_tokens
+               "distinct_token_count", # vocab pre-agg -> frequent_bigrams
                "sample_10pct",         # bernoulli sample -> stratified_sample
                "sliding_windows",      # time windows -> hourly_windows
                "retention_filter",     # vectorized predicate -> validate_filter
@@ -84,14 +85,15 @@ def _registry() -> tuple[dict, dict]:
                "dedup_exact",          # first-wins dedup -> incremental_dedup
                                        # (superset: exact dedup + manifest join)
                "count_by_event_type",  # per-type counts -> event_type_pivot
-               "char_classes",         # char-class regexes -> quality_scores
+               "char_classes",         # char-class regexes -> unpivot_quality
+                                       # (same Arrow RE2 scoring kernel)
                "fingerprints",         # md5 content hash -> incremental_dedup
                "global_shuffle",       # seeded reorder -> stratified_sample
                "regex_key_filter",     # vectorized regex filter -> pii_scrub
                "token_rarity",         # two-pass vocab join -> term_postings
                "tfidf_topk",           # word-keyed agg + join -> term_postings
-               "top3_orders_per_customer",  # grouped topk -> frequent_tokens
-               "distinct_lang_source", # distinct pairs -> frequent_tokens
+               "top3_orders_per_customer",  # grouped topk -> frequent_bigrams
+               "distinct_lang_source", # distinct pairs -> frequent_bigrams
                "session_ids",          # sessionize bucket -> order_neighbors
                "above_median_docs",    # quantile cutoff -> chars_percentiles
                "embedding_nn",         # broadcast-query matmul -> ann_topk
@@ -99,13 +101,13 @@ def _registry() -> tuple[dict, dict]:
                "session_windows",      # session windows -> hourly_windows
                "grouped_percentiles",  # percentile hist -> chars_percentiles
                "per_lang_sample",      # per-group sampling -> stratified_sample
-               "repetition_ratio",     # map-only doc scoring -> quality_scores
-               "bpe_token_counts",     # token counting -> langid
-               "token_counts",         # token counting -> quality_scores
+               "repetition_ratio",     # map-only doc scoring -> unpivot_quality
+               "bpe_token_counts",     # token counting -> unpivot_quality
+               "token_counts",         # token counting -> unpivot_quality
                "range_partition_docs", # quantile boundaries -> chars_percentiles
-               "langs_per_source",     # two-level agg -> frequent_tokens
+               "langs_per_source",     # two-level agg -> frequent_bigrams
                "token_histogram",      # bincount partials -> chars_histogram
-               "langid",               # map-only doc scoring -> quality_scores
+               "langid",               # map-only doc scoring -> unpivot_quality
                                        # (yields its slot to
                                        # auto_salted_segment_value — NEW
                                        # auto-hot-key detection mechanism)
@@ -144,6 +146,12 @@ def _registry() -> tuple[dict, dict]:
                                        # to pagerank (NEW mechanism:
                                        # integer fixed-point iterative
                                        # rank, partitioned-state rounds)
+               "cohort_retention",     # epoch-week buckets + per-user
+                                       # grouped agg -> hourly_windows
+                                       # (same integer time-bucket
+                                       # partials); the cohort join +
+                                       # in-bucket distinct fold is
+                                       # strict-checked in pytest
                "frequent_tokens")      # Misra-Gries heavy hitters ->
                                        # frequent_bigrams (superset: the
                                        # SAME key-agnostic MG plan over a

@@ -83,6 +83,7 @@ BENCH_QUERIES = [
     "bpe_encoded_lengths",
     "pagerank",
     "funnel_stages",
+    "cohort_retention",
 ]
 
 

@@ -1428,6 +1428,82 @@ def funnel_stages(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Cohort retention: signup-cohort week x activity-week matrix. The
+# user-distinct fold happens INSIDE the user-bucket shuffle (a user lives
+# in exactly one bucket, so per-bucket distinct is globally distinct);
+# only (cohort_week, week_idx, partial count) rows reach the final tiny
+# aggregation — the matrix exchange is O(cohorts x weeks), never O(users).
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_retention",
+    # epoch-anchored integer week buckets (same dialect-exact idiom as
+    # hourly_windows); cohort = week of the user's FIRST signup event;
+    # a user counts once per active week from the cohort week onward
+    "WITH c AS (SELECT user_id, MIN(epoch_us(ts) // 604800000000) "
+    "AS cohort_week FROM events WHERE event_type = 'signup' "
+    "GROUP BY user_id), "
+    "a AS (SELECT DISTINCT e.user_id, c.cohort_week, "
+    "epoch_us(e.ts) // 604800000000 - c.cohort_week AS week_idx "
+    "FROM events e JOIN c ON e.user_id = c.user_id "
+    "WHERE epoch_us(e.ts) // 604800000000 >= c.cohort_week) "
+    "SELECT cohort_week, week_idx, CAST(COUNT(*) AS BIGINT) AS n_users "
+    "FROM a GROUP BY cohort_week, week_idx",
+)
+def cohort_retention(sf_dir: str):
+    """Classic retention triangle: for each signup cohort (week of the
+    user's first 'signup' event), how many users were active 0, 1, 2, …
+    weeks later. Pre-signup activity is excluded; users who never sign
+    up have no cohort and are dropped."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import bucket_column
+
+    WEEK_US = 604_800_000_000
+    ds = read_table(sf_dir, "events",
+                    columns=["user_id", "event_type", "ts"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "week": pa.array(us // WEEK_US, pa.int64()),
+        })
+
+    bucketed = ds.map_batches(prep, batch_format="pyarrow",
+                              batch_size=65536).map_batches(
+        lambda t: bucket_column(t, "user_id", 32, "__cb"),
+        batch_format="pyarrow",
+    )
+
+    def cohort_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns(["__cb"]).to_pandas()
+        signup = df[df["event_type"] == "signup"] \
+            .groupby("user_id")["week"].min()
+        cw = df["user_id"].map(signup)
+        keep = cw.notna().to_numpy() & (df["week"] >= cw).to_numpy()
+        act = pd.DataFrame({
+            "user_id": df["user_id"][keep],
+            "cohort_week": cw[keep].astype("int64"),
+            "week_idx": (df["week"][keep] - cw[keep]).astype("int64"),
+        }).drop_duplicates(["user_id", "week_idx"])
+        counts = act.groupby(["cohort_week", "week_idx"]).size()
+        idx = counts.index.to_frame(index=False)
+        return pa.table({
+            "cohort_week": pa.array(idx["cohort_week"].to_numpy(), pa.int64()),
+            "week_idx": pa.array(idx["week_idx"].to_numpy(), pa.int64()),
+            "n_partial": pa.array(counts.to_numpy(), pa.int64()),
+        })
+
+    partials = bucketed.groupby("__cb").map_groups(
+        cohort_bucket, batch_format="pyarrow"
+    )
+    return partials.groupby(["cohort_week", "week_idx"]).aggregate(
+        Sum("n_partial", alias_name="n_users")
+    )
+
+
+# ---------------------------------------------------------------------------
 # ROLLUP (hierarchical subtotals): region -> nation -> grand total, computed
 # WITHOUT a driver pass: each partial emits all three hierarchy levels
 # (they are Sum-able), so one groupby finishes every level at once.

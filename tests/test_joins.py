@@ -274,3 +274,46 @@ def test_funnel_stages_planted(ray_session, tmp_path):
     )
     out = funnel_stages(str(sf)).to_pandas().set_index("user_id")["stage"]
     assert out.to_dict() == {1: 3, 2: 1, 3: 1, 4: 0, 5: 3, 6: 2}
+
+
+def test_cohort_retention_planted(ray_session, tmp_path):
+    """Planted cohorts: pre-signup activity excluded, never-signed-up
+    users dropped, one count per user per active week."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from docling_service_ray.pipelines.relational import cohort_retention
+
+    WEEK = pd.Timedelta(days=7)
+    W = pd.Timestamp("2026-01-05")  # any anchor; buckets are epoch-weeks
+    rows = []
+
+    def ev(u, et, t):
+        rows.append({"event_id": len(rows), "ts": t, "user_id": u,
+                     "event_type": et, "value": 0.0, "props": ""})
+
+    # u1: signup week 0; active weeks 0 (twice — counts once), 1, 3
+    ev(1, "signup", W); ev(1, "click", W + pd.Timedelta(hours=1))
+    ev(1, "view", W + WEEK); ev(1, "view", W + 3 * WEEK)
+    # u2: signup week 1; active week 1 only
+    ev(2, "signup", W + WEEK)
+    # u3: never signs up -> dropped entirely
+    ev(3, "view", W); ev(3, "click", W + WEEK)
+    # u4: signup week 0 with PRE-signup activity (excluded), active week 0
+    ev(4, "view", W - WEEK); ev(4, "signup", W + pd.Timedelta(hours=2))
+
+    df = pd.DataFrame(rows)
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(
+        pa.Table.from_pandas(df.astype({"ts": "datetime64[us]"}),
+                             preserve_index=False),
+        sf / "events.parquet",
+    )
+    out = cohort_retention(str(sf)).to_pandas()
+    w0 = out[out.cohort_week == out.cohort_week.min()]
+    got = {(int(r.cohort_week - out.cohort_week.min()), int(r.week_idx)):
+           int(r.n_users) for r in out.itertuples()}
+    # cohort week0: u1+u4 at idx 0, u1 at idx 1 and 3; cohort week1: u2 at 0
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
+    assert len(w0) == 3
