@@ -152,6 +152,13 @@ def _registry() -> tuple[dict, dict]:
                                        # partials); the cohort join +
                                        # in-bucket distinct fold is
                                        # strict-checked in pytest
+               "triangle_counts",      # wedge-closing via co-located
+                                       # bucket-union merge ->
+                                       # full_outer_activity (same
+                                       # bucketed join plan); the graph
+                                       # slots hold the two iterative
+                                       # mechanisms (pagerank, CC);
+                                       # strict-checked in pytest
                "frequent_tokens")      # Misra-Gries heavy hitters ->
                                        # frequent_bigrams (superset: the
                                        # SAME key-agnostic MG plan over a

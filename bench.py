@@ -84,6 +84,7 @@ BENCH_QUERIES = [
     "pagerank",
     "funnel_stages",
     "cohort_retention",
+    "triangle_counts",
 ]
 
 

@@ -767,3 +767,121 @@ def pagerank_int(edges, nodes, *, src: str = "a", dst: str = "b",
 
     return rd.from_arrow_refs(state_parts).select_columns(
         ["node", "rank_ppm"])
+
+
+# ---------------------------------------------------------------------------
+# Triangle counting (wedge-closing self-join)
+# ---------------------------------------------------------------------------
+
+def triangle_counts(edges, nodes, *, src: str = "a", dst: str = "b",
+                    node_col: str = "node", n_buckets: int = 32):
+    """Per-node triangle counts over an undirected graph — the third
+    classic graph primitive next to :func:`connected_components` and
+    :func:`pagerank_int`, and the standard wedge-closing formulation:
+
+    1. adjacency: edges grouped by their SMALLER endpoint (one bucket
+       shuffle) — so every triangle ``a < b < c`` is generated exactly
+       once, as the wedge ``(b, c)`` anchored at ``a``;
+    2. wedges: each node emits all pairs of its greater neighbors
+       (vectorized ``triu_indices`` per node, never a Python pair loop);
+    3. closing: wedges semi-join the edge set on ``(b, c)`` — both sides
+       bucketed by the SAME hash of ``b``, per-bucket vectorized pandas
+       merge (one more shuffle);
+    4. counts: every closed wedge credits its three corners; partial
+       counts union with a zero row per node so triangle-free nodes
+       appear with 0.
+
+    Contract: ``edges`` must be UNIQUE undirected edges with
+    ``src < dst`` (normalize+dedup upstream if needed; duplicates would
+    double-count). Wedge fan-out is sum over nodes of C(deg⁺, 2) — for
+    power-law graphs apply the standard degree-ordering reduction
+    upstream (orient each edge toward the higher-degree endpoint) to
+    bound it; not needed for the bounded-degree graphs this engine's
+    dedup-cluster workloads produce.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    id_type = pa.int64()
+
+    def norm(t: pa.Table) -> pa.Table:
+        return pa.table({"u": t[src].cast(id_type), "v": t[dst].cast(id_type)})
+
+    e = edges.map_batches(norm, batch_format="pyarrow")
+    eb = e.map_batches(
+        lambda t: bucket_column(t, "u", n_buckets, _PR_BUCKET),
+        batch_format="pyarrow",
+    )
+
+    def wedges_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.drop_columns([_PR_BUCKET]).to_pandas()
+        outs = {"anchor": [], "b": [], "c": []}
+        for u, nbrs in df.groupby("u")["v"]:
+            arr = np.sort(nbrs.to_numpy())
+            if len(arr) < 2:
+                continue
+            i, j = np.triu_indices(len(arr), k=1)
+            outs["anchor"].append(np.full(len(i), u, np.int64))
+            outs["b"].append(arr[i])
+            outs["c"].append(arr[j])
+        if not outs["anchor"]:
+            return pa.table({"anchor": pa.array([], id_type),
+                             "b": pa.array([], id_type),
+                             "c": pa.array([], id_type)})
+        return pa.table({k: pa.array(np.concatenate(vs), id_type)
+                         for k, vs in outs.items()})
+
+    wedges = eb.groupby(_PR_BUCKET).map_groups(
+        wedges_bucket, batch_format="pyarrow"
+    )
+
+    # co-locate wedges (by b) with edges (by u) under the SAME hash, then
+    # close per bucket with one vectorized merge
+    SIDE = "__tc_side"
+    wb = wedges.map_batches(
+        lambda t: bucket_column(t, "b", n_buckets, _PR_BUCKET)
+        .append_column(SIDE, pa.array(np.zeros(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+    eb2 = e.map_batches(
+        lambda t: pa.table({"anchor": pa.nulls(t.num_rows, id_type),
+                            "b": t["u"], "c": t["v"]}),
+        batch_format="pyarrow",
+    ).map_batches(
+        lambda t: bucket_column(t, "b", n_buckets, _PR_BUCKET)
+        .append_column(SIDE, pa.array(np.ones(t.num_rows, np.int8))),
+        batch_format="pyarrow",
+    )
+
+    def close_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.to_pandas()
+        w = df[df[SIDE] == 0]
+        ed = df[df[SIDE] == 1][["b", "c"]]
+        if len(w) == 0 or len(ed) == 0:
+            return pa.table({"node": pa.array([], id_type),
+                             "n_partial": pa.array([], pa.int64())})
+        hit = w.merge(ed, on=["b", "c"], how="inner")
+        corners = np.concatenate([
+            hit["anchor"].to_numpy(dtype=np.int64),
+            hit["b"].to_numpy(dtype=np.int64),
+            hit["c"].to_numpy(dtype=np.int64),
+        ])
+        vals, cnts = np.unique(corners, return_counts=True)
+        return pa.table({"node": pa.array(vals, id_type),
+                         "n_partial": pa.array(cnts.astype(np.int64))})
+
+    partials = wb.union(eb2).groupby(_PR_BUCKET).map_groups(
+        close_bucket, batch_format="pyarrow"
+    )
+
+    zeros = nodes.map_batches(
+        lambda t: pa.table({
+            "node": t[node_col].cast(id_type),
+            "n_partial": pa.array(
+                np.zeros(t.num_rows, np.int64)),
+        }),
+        batch_format="pyarrow",
+    )
+    return partials.union(zeros).groupby("node").aggregate(
+        Sum("n_partial", alias_name="n_triangles")
+    )

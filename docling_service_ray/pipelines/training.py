@@ -1575,6 +1575,39 @@ def pagerank_query(sf_dir: str):
 
 
 @register(
+    "triangle_counts",
+    # complete graph within each 4-block of contiguous doc ids: a node in
+    # K_m sits in C(m-1, 2) triangles — closed form via a window count,
+    # while the engine runs the general wedge-closing algorithm
+    "SELECT doc_id AS node, "
+    "CAST(((m - 1) * (m - 2)) // 2 AS BIGINT) AS n_triangles FROM ("
+    "SELECT doc_id, COUNT(*) OVER (PARTITION BY doc_id // 4) AS m "
+    "FROM documents) t",
+)
+def triangle_counts_query(sf_dir: str):
+    """Per-node triangle counts (wedge-closing self-join — see
+    functions/graph.py ``triangle_counts``) on the within-4-block
+    complete graph derived from doc ids."""
+    from ..functions.graph import triangle_counts
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id"])
+    n_total = ds.count()
+
+    def mk_edges(t: pa.Table) -> pa.Table:
+        d = t["doc_id"].to_numpy(zero_copy_only=False)
+        us, vs = [], []
+        for off in (1, 2, 3):
+            keep = (d % 4 <= 3 - off) & (d + off < n_total)
+            us.append(d[keep])
+            vs.append(d[keep] + off)
+        return pa.table({"a": pa.array(np.concatenate(us), pa.int64()),
+                         "b": pa.array(np.concatenate(vs), pa.int64())})
+
+    edges = ds.map_batches(mk_edges, batch_format="pyarrow")
+    return triangle_counts(edges, ds, node_col="doc_id")
+
+
+@register(
     "connected_components",
     # chain edges (d, d-1) for d % 4 != 0 over contiguous doc ids =>
     # components are runs of 4 consecutive ids; min member = d - d % 4

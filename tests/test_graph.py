@@ -239,3 +239,77 @@ def test_partitioned_rounds_resume_from_frontier(ray_session):
     # resume must NOT restart from scratch: remaining chain needs 3 more
     # pushes (0->2, ->3, ->4) plus the empty-frontier confirming round
     assert 3 <= used <= 5
+
+
+# ---------------------------------------------------------------------------
+# triangle counting (wedge-closing)
+# ---------------------------------------------------------------------------
+
+def _ref_triangles(n, edge_list):
+    """Brute-force reference: per-node triangle membership counts."""
+    import itertools
+
+    es = set(map(tuple, edge_list))
+    adj = {i: set() for i in range(n)}
+    for u, v in es:
+        adj[u].add(v)
+        adj[v].add(u)
+    counts = [0] * n
+    for a, b, c in itertools.combinations(range(n), 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            counts[a] += 1
+            counts[b] += 1
+            counts[c] += 1
+    return np.array(counts, dtype=np.int64)
+
+
+def _run_triangles(n, edge_list, n_buckets=4, repartition=None):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import triangle_counts
+
+    nodes = rd.from_items([{"node": i} for i in range(n)])
+    edges = rd.from_items([{"a": u, "b": v} for u, v in edge_list])
+    if repartition:
+        nodes, edges = nodes.repartition(repartition), \
+            edges.repartition(repartition)
+    out = triangle_counts(edges, nodes, n_buckets=n_buckets) \
+        .to_pandas().set_index("node").sort_index()
+    return out["n_triangles"].to_numpy()
+
+
+def test_triangles_random_graph_matches_reference(ray_session):
+    rng = np.random.default_rng(13)
+    n = 30
+    seen = set()
+    for u, v in rng.integers(0, n, size=(120, 2)):
+        u, v = int(min(u, v)), int(max(u, v))
+        if u != v:
+            seen.add((u, v))
+    edge_list = sorted(seen)
+    got = _run_triangles(n, edge_list)
+    np.testing.assert_array_equal(got, _ref_triangles(n, edge_list))
+
+
+def test_triangles_planted_cliques_and_isolates(ray_session):
+    """Two K4s + one isolated node + a triangle-free path."""
+    k4 = lambda base: [(base + i, base + j)  # noqa: E731
+                       for i in range(4) for j in range(i + 1, 4)]
+    edge_list = k4(0) + k4(4) + [(8, 9), (9, 10)]  # 11 = isolate
+    got = _run_triangles(12, edge_list)
+    want = np.array([3, 3, 3, 3, 3, 3, 3, 3, 0, 0, 0, 0], dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_triangles_parallelism_invariant(ray_session):
+    rng = np.random.default_rng(17)
+    n = 24
+    seen = set()
+    for u, v in rng.integers(0, n, size=(90, 2)):
+        u, v = int(min(u, v)), int(max(u, v))
+        if u != v:
+            seen.add((u, v))
+    edge_list = sorted(seen)
+    a = _run_triangles(n, edge_list, n_buckets=1)
+    b = _run_triangles(n, edge_list, n_buckets=7, repartition=5)
+    np.testing.assert_array_equal(a, b)
