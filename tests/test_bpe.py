@@ -153,3 +153,47 @@ def test_bpe_min_count_stops_early(ray_session):
     ds = rd.from_items([{"text": "ab cd ef"}])
     merges = bpe_train(ds, n_merges=4, min_count=2).to_pandas()
     assert len(merges) == 0
+
+
+# ---------------------------------------------------------------------------
+# property tests (pure kernels — no Ray per example)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=12)
+
+
+@given(st.lists(st.lists(_word, max_size=8).map(" ".join), min_size=1,
+                max_size=12), st.integers(min_value=0, max_value=20))
+@settings(max_examples=150, deadline=None)
+def test_local_rounds_match_reference_on_random_corpora(texts, n_merges):
+    """The engine's local-rounds trainer is exactly the paper algorithm
+    for ANY corpus and merge budget."""
+    from collections import Counter
+
+    from docling_service_ray.stages.bpe import _local_rounds
+
+    words = Counter()
+    for t in texts:
+        words.update(t.split())
+    wdf = pd.DataFrame({"word": list(words.keys()),
+                        "n": list(words.values())})
+    got = [(a, b, c) for _, a, b, c in _local_rounds(wdf, n_merges, 2)] \
+        if len(wdf) else []
+    assert got == ref_bpe_train(texts, n_merges)
+
+
+@given(_word, st.lists(st.lists(_word, max_size=6).map(" ".join),
+                       min_size=1, max_size=8))
+@settings(max_examples=150, deadline=None)
+def test_encode_word_lossless_for_any_learned_merges(word, texts):
+    """Greedy encoding with ANY learned merge table concatenates back to
+    the original word (+ end marker) — encoding is always lossless."""
+    from docling_service_ray.stages.bpe import encode_word
+
+    merges = ref_bpe_train(texts, 16)
+    rank_of = {(a, b): i for i, (a, b, _) in enumerate(merges)}
+    toks = encode_word(word, rank_of)
+    assert "".join(toks) == word + _EOW
+    assert all(toks)  # no empty symbols
