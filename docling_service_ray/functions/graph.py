@@ -646,8 +646,11 @@ def pagerank_int(edges, nodes, *, src: str = "a", dst: str = "b",
     id_type = pa.int64()
     n_total = nodes.count()
     if n_total == 0:
-        return rd.from_arrow(pa.table({"node": pa.array([], id_type),
-                                       "rank_ppm": pa.array([], pa.int64())}))
+        # return the empty TABLE directly: a Dataset wrapping an empty
+        # block arrives schema-less at consumers (Ray drops the schema
+        # with the last row), losing the (node, rank_ppm) contract
+        return pa.table({"node": pa.array([], id_type),
+                         "rank_ppm": pa.array([], pa.int64())})
     tele = (scale * (damping_den - damping_num)) // damping_den
 
     e = edges.map_batches(

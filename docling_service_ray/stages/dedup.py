@@ -45,6 +45,11 @@ def _id_arrow_type(ds, id_col: str) -> pa.DataType:
     shuffle task."""
     from ..functions.arrow_util import arrow_schema_of
 
+    if ds.schema() is None:
+        # fully-empty datasets arrive schema-less (Ray drops the schema
+        # with the last row); the output is empty either way, so the id
+        # type is moot — default to int64
+        return pa.int64()
     typ = arrow_schema_of(ds).field(id_col).type
     if pa.types.is_integer(typ):
         return pa.int64()

@@ -423,3 +423,13 @@ def test_keep_best_parallelism_invariant(keep_best_ds):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_keep_best_empty_input(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.stages.dedup import keep_best_dedup
+
+    ds = rd.from_items([{"doc_id": 1, "text": "x"}]).filter(lambda r: False)
+    out = keep_best_dedup(ds).to_pandas()
+    assert len(out) == 0

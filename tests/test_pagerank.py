@@ -78,3 +78,19 @@ def test_pagerank_mass_sink(ray_session):
     want = ref_pagerank(n, edge_list)
     np.testing.assert_array_equal(got, want)
     assert got[0] > got[1]
+
+
+def test_pagerank_zero_iterations_is_initial_mass(ray_session):
+    got = _run(ray_session, 5, [(0, 1)], iters=0)
+    assert list(got) == [1_000_000] * 5
+
+
+def test_pagerank_empty_nodes(ray_session):
+    import ray.data as rd
+
+    from docling_service_ray.functions.graph import pagerank_int
+
+    nodes = rd.from_items([{"node": 1}]).filter(lambda r: False)
+    edges = rd.from_items([{"a": 0, "b": 1}]).filter(lambda r: False)
+    out = pagerank_int(edges, nodes)
+    assert len(out) == 0 and out.column_names == ["node", "rank_ppm"]
