@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "funnel_stages",
     "cohort_retention",
     "triangle_counts",
+    "winnow_fps",
 ]
 
 

@@ -77,6 +77,36 @@ def fingerprints(sf_dir: str):
                           zero_copy_batch=True)
 
 
+@register("winnow_fps")  # rows-only (rolling-hash artifact)
+def winnow_fps(sf_dir: str):
+    """Winnowing LOCAL fingerprints (MOSS, SIGMOD'03): rolling-hash char
+    k-grams + window minima — unlike the whole-document md5
+    ``fingerprints``, shared substrings >= w+k-1 chars are guaranteed a
+    common fingerprint. Exploded (doc_id, fp); density ~2/(w+1) per
+    char. Guarantee/density/reference tests in tests/test_winnow.py."""
+    from ..stages.winnow import fingerprint_batch
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(lambda b: fingerprint_batch(b),
+                          batch_format="pandas")
+
+
+@register("winnow_overlap")  # rows-only (pairs from rolling-hash artifact)
+def winnow_overlap(sf_dir: str):
+    """Verbatim-overlap pair mining over winnowing fingerprints
+    (plagiarism/boilerplate detection): fingerprint-posting groupby,
+    in-posting pair generation with a loud stop-fingerprint cap, one
+    pair-keyed count aggregation — the LSH-banding plan shape. The
+    synthetic corpus is a small-vocabulary word salad, so most
+    fingerprints are corpus-wide boilerplate; the tight ``max_bucket``
+    drops them (the stop-fingerprint mechanism working as designed) and
+    only genuinely rare shared strings pair up."""
+    from ..stages.winnow import winnow_overlap_pairs
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return winnow_overlap_pairs(ds, k=8, min_shared=3, max_bucket=50)
+
+
 # The composite quality formula as a reusable subquery (carries `text`
 # through so downstream oracles can fingerprint/group on it). Shared by
 # quality_scores, dedup_keep_best and unpivot_quality so the three stay
