@@ -131,7 +131,18 @@ def winnow_overlap_pairs(ds, *, id_col: str = "doc_id",
         # this is what bounds the pair fan-out at sum(posting^2) <=
         # max_bucket * kept_rows
         sizes = df.groupby("fp")[id_col].transform("size")
-        df = df[(sizes.to_numpy() >= 2) & (sizes.to_numpy() <= max_bucket)]
+        over = sizes.to_numpy() > max_bucket
+        if over.any():
+            # no silent caps: record how much boilerplate the stop-
+            # fingerprint gate dropped (visible in worker logs / ds.stats)
+            import logging
+
+            logging.getLogger(__name__).info(
+                "winnow_overlap: dropped %d stop-fingerprints "
+                "(posting > %d) covering %d rows in this bucket",
+                df["fp"][over].nunique(), max_bucket, int(over.sum()),
+            )
+        df = df[(sizes.to_numpy() >= 2) & ~over]
         if len(df) == 0:
             return empty
         # all in-posting ordered pairs via one vectorized self-merge
