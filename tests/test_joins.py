@@ -317,3 +317,40 @@ def test_cohort_retention_planted(ray_session, tmp_path):
     # cohort week0: u1+u4 at idx 0, u1 at idx 1 and 3; cohort week1: u2 at 0
     assert got == {(0, 0): 2, (0, 1): 1, (0, 3): 1, (1, 0): 1}
     assert len(w0) == 3
+
+
+def test_funnel_and_cohort_deterministic_across_runs(ray_session, tmp_path):
+    """Both event-analytics ops are bitwise stable across repeated
+    executions on a random corpus (the bucketed plans contain no
+    order-sensitive float reductions)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from docling_service_ray.pipelines.relational import (
+        cohort_retention,
+        funnel_stages,
+    )
+
+    rng = np.random.default_rng(23)
+    T = pd.Timestamp("2026-02-02")
+    types = ["view", "click", "purchase", "signup", "error"]
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n),
+        "ts": [T + pd.Timedelta(minutes=int(m))
+               for m in rng.integers(0, 60 * 24 * 30, n)],
+        "user_id": rng.integers(0, 25, n),
+        "event_type": rng.choice(types, n),
+        "value": np.zeros(n),
+        "props": [""] * n,
+    }).astype({"ts": "datetime64[us]"})
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   sf / "events.parquet")
+
+    for fn, keys in ((funnel_stages, ["user_id"]),
+                     (cohort_retention, ["cohort_week", "week_idx"])):
+        a = fn(str(sf)).to_pandas().sort_values(keys).reset_index(drop=True)
+        b = fn(str(sf)).to_pandas().sort_values(keys).reset_index(drop=True)
+        pd.testing.assert_frame_equal(a, b)
