@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "triangle_counts",
     "winnow_fps",
+    "cm_sketch_error",
 ]
 
 

@@ -867,6 +867,47 @@ def approx_distinct_tokens(sf_dir: str):
 # selection is a learned artifact, not SQL-expressible; exact correctness
 # vs an independent reference trainer in tests/test_bpe.py)
 # ---------------------------------------------------------------------------
+@register("cm_sketch_error")  # measured-error artifact (approximate)
+def cm_sketch_error(sf_dir: str):
+    """Count-Min sketch quality artifact (the CM companion of
+    quantile_sketch_error / neardup_recall): one-pass 4×1024 sketch of
+    the token stream, then the 50 EXACT most-frequent tokens are
+    point-queried against it. Output rows carry (token, exact, est,
+    overestimate); CM never underestimates, so min(overestimate) >= 0 by
+    theorem and the driver row records the measured max/mean error mass.
+    """
+    from ray.data.aggregate import Sum
+
+    from ..functions.cmsketch import cm_sketch_tokens, estimate
+
+    ds = read_table(sf_dir, "documents", columns=["text"])
+    m = cm_sketch_tokens(ds, d=4, w=1024)
+
+    def token_partials(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.strip()
+        s = s[s != ""]
+        vc = s.str.split(r"\s+").explode().value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "n": vc.to_numpy()})
+
+    top = (
+        ds.map_batches(token_partials, batch_format="pandas")
+        .groupby("token").aggregate(Sum("n", alias_name="n"))
+        .sort("n", descending=True).limit(50).to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True],
+                     kind="mergesort")
+    )
+    exact = top.set_index("token")["n"].astype("int64")
+    est = estimate(m, exact.index.to_numpy())
+    over = est - exact.to_numpy()
+    return pa.table({
+        "token": pa.array(exact.index.to_numpy(), pa.string()),
+        "exact": pa.array(exact.to_numpy(), pa.int64()),
+        "est": pa.array(est, pa.int64()),
+        "overestimate": pa.array(over, pa.int64()),
+    })
+
+
 @register("bpe_merges")  # rows-only (iterative trainer)
 def bpe_merges(sf_dir: str):
     """Learn 16 BPE merges over the documents corpus (word-frequency
