@@ -159,6 +159,11 @@ def _registry() -> tuple[dict, dict]:
                                        # slots hold the two iterative
                                        # mechanisms (pagerank, CC);
                                        # strict-checked in pytest
+               "zorder_keys",          # map-only derived sort key ->
+                                       # output_keys (same read->map->
+                                       # project plan); the LAYOUT value
+                                       # (row-group pruning) is measured
+                                       # in tests/test_zorder.py
                "frequent_tokens")      # Misra-Gries heavy hitters ->
                                        # frequent_bigrams (superset: the
                                        # SAME key-agnostic MG plan over a

@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "triangle_counts",
     "winnow_fps",
     "cm_sketch_error",
+    "zorder_keys",
 ]
 
 

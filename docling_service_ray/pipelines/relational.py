@@ -1428,6 +1428,49 @@ def funnel_stages(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Z-order (Morton) layout keys: one sort key under which rows close in
+# EITHER dimension land close in the file, so row-group min/max stats
+# prune 2-D range predicates ("prune at the read" made real — measured
+# pruning benefit in tests/test_zorder.py).
+# ---------------------------------------------------------------------------
+def _zorder_oracle() -> str:
+    from ..functions.zorder import zorder_oracle_sql
+
+    return zorder_oracle_sql(
+        "SELECT event_id, user_id, "
+        "epoch_us(ts) // 3600000000 AS hour_bucket FROM events",
+        "event_id", "user_id", "hour_bucket",
+    )
+
+
+@register("zorder_keys", None)
+def zorder_keys(sf_dir: str):
+    """Morton key of (user_id, hour_bucket) per event — map-only bit
+    interleave (numpy shift-or-mask ladder), mirrored exactly by the
+    oracle's CTE ladder. At scale: compute the key map-only, `sort("z")`
+    once before the partitioned write, and every later 2-D range scan
+    prunes on tight row-group statistics."""
+    from ..functions.zorder import zorder_key2
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def keys(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        hour = (us // 3_600_000_000).astype(np.uint64)
+        uid = batch["user_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "z": pa.array(zorder_key2(uid, hour), pa.int64()),
+        })
+
+    return ds.map_batches(keys, batch_format="pyarrow", batch_size=65536)
+
+
+ORACLES["zorder_keys"] = _zorder_oracle()
+
+
+# ---------------------------------------------------------------------------
 # Cohort retention: signup-cohort week x activity-week matrix. The
 # user-distinct fold happens INSIDE the user-bucket shuffle (a user lives
 # in exactly one bucket, so per-bucket distinct is globally distinct);
