@@ -2698,3 +2698,98 @@ def corr_by_lang(sf_dir: str):
         return batch[["lang", "n_docs", "corr_chars_spaces"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog distinct sketch (functions/hllsketch.py) — the cardinality
+# companion of the CM frequency sketch: constant-space mergeable
+# registers, exchange <= 2**p (register, rank) pairs per batch. The
+# artifact query measures its error against the EXACT distinct path on
+# the same corpus (the repo rule: every approximate method ships with
+# its measured error).
+# ---------------------------------------------------------------------------
+@register("hll_distinct_error")  # measured-error artifact (approximate)
+def hll_distinct_error(sf_dir: str):
+    """HLL quality artifact: per-language approximate distinct-token
+    counts (p=12 -> 4096 registers, theory stderr 1.04/sqrt(4096) =
+    1.6%) against the exact per-language counts, plus a __total__ row
+    for the corpus-wide sketch. Output rows carry (lang, exact, est,
+    rel_err_pct). The exact side pre-collapses to per-(lang, word)
+    uniques per batch so the exchange moves vocabulary, never the token
+    stream (same discipline as distinct_token_count); the HLL side
+    exchanges only (lang, reg, rank) partials — the 100 TB path.
+    """
+    from ..functions.hashing import bucket_column
+    from ..functions.hllsketch import hll_distinct_by_group, hll_distinct_tokens
+
+    ds = read_table(sf_dir, "documents", columns=["lang", "text"])
+    est = hll_distinct_by_group(ds, group_col="lang", p=12).to_pandas()
+    total_est = hll_distinct_tokens(
+        read_table(sf_dir, "documents", columns=["text"]), p=12
+    )
+
+    def lang_words(batch: pd.DataFrame) -> pd.DataFrame:
+        s = batch["text"].fillna("").str.strip()
+        keep = s != ""
+        df = pd.DataFrame({"lang": batch["lang"][keep].astype(str),
+                           "word": s[keep].str.split(r"\s+")})
+        df = df.explode("word")
+        return df.drop_duplicates()
+
+    pairs = ds.map_batches(lang_words, batch_format="pandas")
+    bucketed = pairs.map_batches(
+        lambda t: bucket_column(t, "word", 64, "__wb"), batch_format="pyarrow"
+    )
+
+    def count_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.select(["lang", "word"]).to_pandas().drop_duplicates()
+        out = df.groupby("lang", sort=False).size().reset_index(name="n")
+        return pa.table({"lang": pa.array(out["lang"], pa.string()),
+                         "n": pa.array(out["n"].astype("int64"), pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    exact = (
+        bucketed.groupby("__wb").map_groups(count_bucket, batch_format="pyarrow")
+        .groupby("lang").aggregate(Sum("n", alias_name="exact"))
+        .to_pandas()  # <= |langs| rows
+    )
+    # __total__ exact: distinct over the union is NOT the sum of
+    # per-lang distincts (words shared across langs); recount exactly.
+    w = ds.map_batches(
+        lambda b: pd.DataFrame({"word": (lambda s: s[s != ""])(
+            b["text"].fillna("").str.strip()
+        ).str.split(r"\s+").explode().unique()}),
+        batch_format="pandas",
+    ).map_batches(
+        lambda t: bucket_column(t, "word", 64, "__wb"), batch_format="pyarrow"
+    )
+
+    def count_total(grp: pa.Table) -> pa.Table:
+        n = len(pd.unique(grp["word"].to_pandas()))
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    total_exact = int(
+        w.groupby("__wb").map_groups(count_total, batch_format="pyarrow")
+        .to_pandas()["n"].sum()
+    )
+    out = exact.merge(est, on="lang", how="outer").fillna(0)
+    out = pd.concat(
+        [out, pd.DataFrame({"lang": ["__total__"],
+                            "exact": [total_exact],
+                            "n_distinct_est": [total_est]})],
+        ignore_index=True,
+    )
+    out["exact"] = out["exact"].astype("int64")
+    out["n_distinct_est"] = out["n_distinct_est"].astype("int64")
+    out["rel_err_pct"] = (
+        (out["n_distinct_est"] - out["exact"]).abs()
+        / out["exact"].clip(lower=1) * 100.0
+    )
+    out = out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+    return pa.table({
+        "lang": pa.array(out["lang"], pa.string()),
+        "exact": pa.array(out["exact"], pa.int64()),
+        "est": pa.array(out["n_distinct_est"], pa.int64()),
+        "rel_err_pct": pa.array(out["rel_err_pct"], pa.float64()),
+    })
