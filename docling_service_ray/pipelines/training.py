@@ -2793,3 +2793,60 @@ def hll_distinct_error(sf_dir: str):
         "est": pa.array(out["n_distinct_est"], pa.int64()),
         "rel_err_pct": pa.array(out["rel_err_pct"], pa.float64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Quantile compactor sketch (functions/qcompactor.py) — deterministic
+# KLL/MRL-family hierarchy with a tracked compaction certificate. The
+# artifact measures rank error against the exact histogram path AND
+# against the sketch's own certified bound (the repo rule: every
+# approximate method ships with its measured error).
+# ---------------------------------------------------------------------------
+@register("quantile_compactor_error")  # measured-error artifact (approximate)
+def quantile_compactor_error(sf_dir: str):
+    """Compactor-sketch quality artifact over documents.n_chars: the
+    one-pass distributed sketch (k=128 — small on purpose, to force
+    compactions at this scale) answers 7 quantiles; each answer's TRUE
+    rank comes from the exact (value, count) histogram (n_chars is a
+    bounded domain, so the exact path applies). Output rows carry
+    (q, est_value, exact_value, rank_err, certified_bound, n);
+    rank_err <= certified_bound is the compaction-certificate theorem,
+    checked end-to-end here and in tests/test_qcompactor.py.
+    """
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.qcompactor import compactor_sketch_column
+
+    qs = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    ds = read_table(sf_dir, "documents", columns=["n_chars"])
+    sk = compactor_sketch_column(ds, "n_chars", k=128)
+    est = sk.quantile(qs)
+
+    hist = (
+        bucketed_group_agg(ds, ["n_chars"], {"c": ("n_chars", "size")},
+                           n_buckets=16)
+        .to_pandas()  # bounded domain: one row per distinct length
+        .sort_values("n_chars")
+    )
+    vals = hist["n_chars"].to_numpy(dtype=np.int64)
+    cum = hist["c"].to_numpy(dtype=np.int64).cumsum()
+    n = int(cum[-1])
+    rows = []
+    for q, e in zip(qs, est):
+        target = max(1, int(np.ceil(q * n)))
+        exact_v = vals[np.searchsorted(cum, target, side="left")]
+        # covered rank run of the estimated value in the exact histogram
+        i = int(np.searchsorted(vals, e, side="left"))
+        hi = int(cum[i]) if i < len(vals) and vals[i] == e else int(
+            cum[i - 1] if i else 0)
+        lo = int(cum[i - 1]) + 1 if i else 1
+        if vals[min(i, len(vals) - 1)] != e:
+            lo = hi  # value absent from the histogram (cannot happen:
+            #          sketch values are input values; kept as a guard)
+        err = 0 if lo <= target <= hi else min(abs(target - lo),
+                                               abs(target - hi))
+        rows.append((q, int(e), int(exact_v), int(err)))
+    df = pd.DataFrame(rows, columns=["q", "est_value", "exact_value",
+                                     "rank_err"])
+    df["certified_bound"] = np.int64(sk.error_bound())
+    df["n"] = np.int64(n)
+    return pa.table(df)
