@@ -164,6 +164,13 @@ def _registry() -> tuple[dict, dict]:
                                        # project plan); the LAYOUT value
                                        # (row-group pruning) is measured
                                        # in tests/test_zorder.py
+               "q1_pricing",           # grouped money agg -> revenue_cube
+                                       # (same Sum-able cents partials,
+                                       # at ALL grouping-set levels);
+                                       # slot goes to json_props_stats
+                                       # (NEW mechanism: typed JSON field
+                                       # extraction via the Arrow RE2
+                                       # named-group kernel)
                "frequent_tokens")      # Misra-Gries heavy hitters ->
                                        # frequent_bigrams (superset: the
                                        # SAME key-agnostic MG plan over a

@@ -1944,3 +1944,59 @@ def profile_events(sf_dir: str):
         for c in cols
     ]
     return pa.Table.from_pylist(rows)
+
+
+# ---------------------------------------------------------------------------
+# §2.8 JSON field extraction (typed): parse the integer payload field out
+# of the events.props JSON string with the Arrow RE2 named-group kernel —
+# the EXTRACT companion of the regex MATCH predicate (regex_key_filter)
+# and the inverse of the metadata-block APPENDER (stages/stitch.py, which
+# serializes json). Scale shape: the per-batch partial collapses the
+# event stream to (event_type, n, sum, max) BEFORE the shuffle, so the
+# exchange is |event_types| x blocks tiny rows — props never shuffles.
+# Reference analogy: metadata JSON round-trip (app/services/document_converter.py
+# metadata block) done as a typed column, not a string.
+# ---------------------------------------------------------------------------
+@register(
+    "json_props_stats",
+    "WITH v AS (SELECT event_type, "
+    "CAST(json_extract(props, '$.k') AS BIGINT) AS k FROM events) "
+    "SELECT event_type, COUNT(*) AS n_events, "
+    "CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k, "
+    "CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k "
+    "FROM v GROUP BY event_type",
+)
+def json_props_stats(sf_dir: str):
+    from ray.data.aggregate import Max, Sum
+
+    ds = read_table(sf_dir, "events", columns=["event_type", "props"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        st = pc.extract_regex(t["props"], r'"k":\s*(?P<k>\d+)')
+        k = pc.cast(pc.struct_field(st, "k"), pa.int64()) \
+            .to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({"event_type": t["event_type"].to_pandas(), "k": k})
+        out = (
+            df.groupby("event_type", sort=False)
+            .agg(n_events=("k", "size"), sum_k=("k", "sum"),
+                 max_k=("k", "max"))
+            .reset_index()
+        )
+        for c in ("n_events", "sum_k", "max_k"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    agg = (
+        ds.map_batches(partial, batch_format="pyarrow", batch_size=65536)
+        .groupby("event_type")
+        .aggregate(Sum("n_events", alias_name="n_events"),
+                   Sum("sum_k", alias_name="sum_k"),
+                   Max("max_k", alias_name="max_k"))
+    )
+
+    def finalize(df: pd.DataFrame) -> pd.DataFrame:
+        # EXACT mirror of the oracle tree: CAST(SUM AS DOUBLE) / COUNT
+        df["avg_k"] = df["sum_k"].astype("float64") / df["n_events"]
+        return df[["event_type", "n_events", "sum_k", "max_k", "avg_k"]]
+
+    return agg.map_batches(finalize, batch_format="pandas")
