@@ -2850,3 +2850,24 @@ def quantile_compactor_error(sf_dir: str):
     df["certified_bound"] = np.int64(sk.error_bound())
     df["n"] = np.int64(n)
     return pa.table(df)
+
+
+# ---------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (stages/lm.py) — the CCNet/KenLM-style
+# quality filter: train counts in one distributed pass, broadcast once,
+# score per document in an actor pool. Rows-only: the per-doc float
+# cross-entropy is not SQL-expressible order-stably; exact correctness
+# is pinned against a pure-Python reference in tests/test_lm.py.
+# ---------------------------------------------------------------------------
+@register("lm_perplexity")  # rows-only (float LM score; reference-exact in tests)
+def lm_perplexity(sf_dir: str):
+    """Per-document bigram cross-entropy (bits/pair) under a Laplace-
+    smoothed bigram LM trained on the same corpus — the self-perplexity
+    quality signal: repetitive/template documents score LOW, token-salad
+    documents score HIGH. Output (doc_id, n_pairs, xent_bits)."""
+    from ..stages.lm import score_corpus, train_bigram_lm
+
+    train = read_table(sf_dir, "documents", columns=["text"])
+    model = train_bigram_lm(train)
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return score_corpus(ds, model)
