@@ -88,6 +88,10 @@ BENCH_QUERIES = [
     "winnow_fps",
     "cm_sketch_error",
     "zorder_keys",
+    "json_props_stats",
+    "hll_distinct_error",
+    "quantile_compactor_error",
+    "lm_perplexity",
 ]
 
 

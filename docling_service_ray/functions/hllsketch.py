@@ -135,10 +135,13 @@ def hll_distinct_by_group(ds, *, group_col: str, text_col: str = "text",
     (which must shuffle every distinct (group, value) pair).
 
     Returns (group_col, n_distinct_est) sorted by group. The register
-    fold lands grouped per group key, so the per-group estimate runs
-    inside map_groups — the driver receives one row per group.
+    fold is an int-bucket fold on the register index (never Ray's
+    sort-based multi-column groupby — the string-key sort shuffle costs
+    ~10x the whole plan at this partial-table size); the per-group
+    estimate then runs inside map_groups — the driver receives one row
+    per group.
     """
-    from ray.data.aggregate import Max
+    from .agg import bucketed_group_agg
 
     def partial(batch: pd.DataFrame) -> pd.DataFrame:
         out = []
@@ -165,10 +168,12 @@ def hll_distinct_by_group(ds, *, group_col: str, text_col: str = "text",
         return pd.DataFrame({group_col: [grp[group_col].iloc[0]],
                              "n_distinct_est": [estimate(regs)]})
 
+    folded = bucketed_group_agg(
+        ds.map_batches(partial, batch_format="pandas"),
+        ["reg", group_col], {"rank": ("rank", "max")}, n_buckets=64,
+    )
     return (
-        ds.map_batches(partial, batch_format="pandas")
-        .groupby([group_col, "reg"]).aggregate(Max("rank", alias_name="rank"))
-        .groupby(group_col)
+        folded.groupby(group_col)
         .map_groups(per_group_estimate, batch_format="pandas")
         .sort(group_col)
     )

@@ -2714,19 +2714,54 @@ def hll_distinct_error(sf_dir: str):
     counts (p=12 -> 4096 registers, theory stderr 1.04/sqrt(4096) =
     1.6%) against the exact per-language counts, plus a __total__ row
     for the corpus-wide sketch. Output rows carry (lang, exact, est,
-    rel_err_pct). The exact side pre-collapses to per-(lang, word)
-    uniques per batch so the exchange moves vocabulary, never the token
-    stream (same discipline as distinct_token_count); the HLL side
-    exchanges only (lang, reg, rank) partials — the 100 TB path.
-    """
-    from ..functions.hashing import bucket_column
-    from ..functions.hllsketch import hll_distinct_by_group, hll_distinct_tokens
+    rel_err_pct).
 
+    TWO executions total (fixed per-execution cost dominates plans this
+    small — the dedup_minhash lesson): the HLL side folds ONE
+    (lang, reg, rank) partial table and derives the corpus-total
+    registers on the driver by mergeability (elementwise max across
+    langs — the folded table is <= |langs| x 2**p rows by construction);
+    the exact side computes per-lang AND total distincts in ONE bucketed
+    pass (words are hash-partitioned, so a bucket's distinct-word count
+    sums to the corpus total, and its per-(lang, word) count sums to the
+    per-lang totals).
+    """
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.hashing import bucket_column
+    from ..functions.hllsketch import estimate, registers_batch
+
+    P = 12
     ds = read_table(sf_dir, "documents", columns=["lang", "text"])
-    est = hll_distinct_by_group(ds, group_col="lang", p=12).to_pandas()
-    total_est = hll_distinct_tokens(
-        read_table(sf_dir, "documents", columns=["text"]), p=12
-    )
+
+    def hll_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        s = batch["text"].fillna("").str.strip()
+        for grp, sub in s.groupby(batch["lang"].astype(str)):
+            sub = sub[sub != ""]
+            toks = sub.str.split(r"\s+").explode().unique()
+            regs = registers_batch(toks, p=P)
+            nz = np.flatnonzero(regs)
+            out.append(pd.DataFrame({"lang": grp,
+                                     "reg": nz.astype(np.int64),
+                                     "rank": regs[nz].astype(np.int64)}))
+        if not out:
+            return pd.DataFrame({"lang": pd.Series([], dtype=str),
+                                 "reg": pd.Series([], dtype=np.int64),
+                                 "rank": pd.Series([], dtype=np.int64)})
+        return pd.concat(out, ignore_index=True)
+
+    folded = bucketed_group_agg(
+        ds.map_batches(hll_partial, batch_format="pandas"),
+        ["reg", "lang"], {"rank": ("rank", "max")}, n_buckets=64,
+    ).to_pandas()  # <= |langs| x 2**p rows by construction
+    ests = {}
+    total_regs = np.zeros(1 << P, dtype=np.uint8)
+    for lang, grp in folded.groupby("lang"):
+        regs = np.zeros(1 << P, dtype=np.uint8)
+        regs[grp["reg"].to_numpy()] = grp["rank"].to_numpy()
+        ests[lang] = estimate(regs)
+        np.maximum(total_regs, regs, out=total_regs)  # merge = max
+    ests["__total__"] = estimate(total_regs)
 
     def lang_words(batch: pd.DataFrame) -> pd.DataFrame:
         s = batch["text"].fillna("").str.strip()
@@ -2736,62 +2771,40 @@ def hll_distinct_error(sf_dir: str):
         df = df.explode("word")
         return df.drop_duplicates()
 
-    pairs = ds.map_batches(lang_words, batch_format="pandas")
-    bucketed = pairs.map_batches(
-        lambda t: bucket_column(t, "word", 64, "__wb"), batch_format="pyarrow"
+    bucketed = (
+        ds.map_batches(lang_words, batch_format="pandas")
+        .map_batches(lambda t: bucket_column(t, "word", 64, "__wb"),
+                     batch_format="pyarrow")
     )
 
     def count_bucket(grp: pa.Table) -> pa.Table:
         df = grp.select(["lang", "word"]).to_pandas().drop_duplicates()
         out = df.groupby("lang", sort=False).size().reset_index(name="n")
+        # the bucket partitions the word space, so its distinct-word
+        # count contributes additively to the corpus total
+        out = pd.concat([out, pd.DataFrame(
+            {"lang": ["__total__"], "n": [df["word"].nunique()]})],
+            ignore_index=True)
         return pa.table({"lang": pa.array(out["lang"], pa.string()),
                          "n": pa.array(out["n"].astype("int64"), pa.int64())})
 
-    from ray.data.aggregate import Sum
-
-    exact = (
-        bucketed.groupby("__wb").map_groups(count_bucket, batch_format="pyarrow")
-        .groupby("lang").aggregate(Sum("n", alias_name="exact"))
-        .to_pandas()  # <= |langs| rows
+    exact = bucketed_group_agg(
+        bucketed.groupby("__wb").map_groups(count_bucket,
+                                            batch_format="pyarrow"),
+        ["lang"], {"exact": ("n", "sum")}, n_buckets=16,
+    ).to_pandas()  # <= |langs| + 1 rows
+    exact["est"] = exact["lang"].map(ests).fillna(0).astype("int64")
+    exact["exact"] = exact["exact"].astype("int64")
+    exact["rel_err_pct"] = (
+        (exact["est"] - exact["exact"]).abs()
+        / exact["exact"].clip(lower=1) * 100.0
     )
-    # __total__ exact: distinct over the union is NOT the sum of
-    # per-lang distincts (words shared across langs); recount exactly.
-    w = ds.map_batches(
-        lambda b: pd.DataFrame({"word": (lambda s: s[s != ""])(
-            b["text"].fillna("").str.strip()
-        ).str.split(r"\s+").explode().unique()}),
-        batch_format="pandas",
-    ).map_batches(
-        lambda t: bucket_column(t, "word", 64, "__wb"), batch_format="pyarrow"
-    )
-
-    def count_total(grp: pa.Table) -> pa.Table:
-        n = len(pd.unique(grp["word"].to_pandas()))
-        return pa.table({"n": pa.array([n], pa.int64())})
-
-    total_exact = int(
-        w.groupby("__wb").map_groups(count_total, batch_format="pyarrow")
-        .to_pandas()["n"].sum()
-    )
-    out = exact.merge(est, on="lang", how="outer").fillna(0)
-    out = pd.concat(
-        [out, pd.DataFrame({"lang": ["__total__"],
-                            "exact": [total_exact],
-                            "n_distinct_est": [total_est]})],
-        ignore_index=True,
-    )
-    out["exact"] = out["exact"].astype("int64")
-    out["n_distinct_est"] = out["n_distinct_est"].astype("int64")
-    out["rel_err_pct"] = (
-        (out["n_distinct_est"] - out["exact"]).abs()
-        / out["exact"].clip(lower=1) * 100.0
-    )
-    out = out.sort_values("lang", kind="mergesort").reset_index(drop=True)
+    exact = exact.sort_values("lang", kind="mergesort").reset_index(drop=True)
     return pa.table({
-        "lang": pa.array(out["lang"], pa.string()),
-        "exact": pa.array(out["exact"], pa.int64()),
-        "est": pa.array(out["n_distinct_est"], pa.int64()),
-        "rel_err_pct": pa.array(out["rel_err_pct"], pa.float64()),
+        "lang": pa.array(exact["lang"], pa.string()),
+        "exact": pa.array(exact["exact"], pa.int64()),
+        "est": pa.array(exact["est"], pa.int64()),
+        "rel_err_pct": pa.array(exact["rel_err_pct"], pa.float64()),
     })
 
 
