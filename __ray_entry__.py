@@ -164,6 +164,14 @@ def _registry() -> tuple[dict, dict]:
                                        # project plan); the LAYOUT value
                                        # (row-group pruning) is measured
                                        # in tests/test_zorder.py
+               "contamination",        # n-gram hash semi-join ->
+                                       # term_postings (n-gram postings
+                                       # exchange) + anti_join_customers
+                                       # (existence-probe side); driver
+                                       # rows in r02-r04 artifacts; slot
+                                       # goes to trailing_hour_value
+                                       # (NEW mechanism: RANGE-frame
+                                       # time-interval window)
                "q1_pricing",           # grouped money agg -> revenue_cube
                                        # (same Sum-able cents partials,
                                        # at ALL grouping-set levels);

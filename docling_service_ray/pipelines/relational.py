@@ -2000,3 +2000,75 @@ def json_props_stats(sf_dir: str):
         return df[["event_type", "n_events", "sum_k", "max_k", "avg_k"]]
 
     return agg.map_batches(finalize, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
+# §2.9 RANGE-frame window: trailing time-interval aggregate per key — the
+# variable-width companion of the fixed ROWS frames (functions/window.py
+# rolling_sum) and the fixed time BUCKETS (hourly_windows): every event's
+# frame is [ts - 1h, ts] within its user, resolved by binary search
+# against the user's sorted timestamps. One user-bucket shuffle; inside a
+# bucket the work is one sort plus TWO searchsorted calls per USER
+# SEGMENT (each vectorized over all that user's rows — the loop is over
+# segments, never rows). SQL RANGE semantics: ts-peers share one frame
+# (both bounds depend only on (user, ts)), so output is independent of
+# tie order. Exact: value folds as int64 micros (functions/money.py).
+# ---------------------------------------------------------------------------
+@register(
+    "trailing_hour_value",
+    "WITH v AS (SELECT event_id, user_id, ts, "
+    "CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS micros FROM events) "
+    "SELECT event_id, user_id, "
+    "CAST(SUM(micros) OVER w AS BIGINT) AS trailing_micros, "
+    "CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n "
+    "FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts "
+    "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)",
+)
+def trailing_hour_value(sf_dir: str):
+    from ..functions.hashing import bucket_column
+
+    H = 3_600_000_000  # one hour in microseconds
+
+    ds = read_table(sf_dir, "events",
+                    columns=["event_id", "user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "micros": to_cents(batch["value"], scale=1_000_000),
+        })
+
+    bucketed = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .map_batches(lambda t: bucket_column(t, "user_id", 64, "__ub"),
+                     batch_format="pyarrow")
+    )
+
+    def frame_bucket(grp: pa.Table) -> pa.Table:
+        df = grp.select(["event_id", "user_id", "ts_us", "micros"]) \
+            .to_pandas().sort_values(["user_id", "ts_us"], kind="mergesort")
+        ts = df["ts_us"].to_numpy()
+        mv = df["micros"].to_numpy()
+        uid = df["user_id"].to_numpy()
+        out_sum = np.empty(len(df), dtype=np.int64)
+        out_n = np.empty(len(df), dtype=np.int64)
+        seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+        for a, b in zip(seg[:-1], seg[1:]):
+            t = ts[a:b]
+            cum = np.r_[0, np.cumsum(mv[a:b])]
+            lo = np.searchsorted(t, t - H, side="left")
+            hi = np.searchsorted(t, t, side="right")
+            out_sum[a:b] = cum[hi] - cum[lo]
+            out_n[a:b] = hi - lo
+        return pa.table({
+            "event_id": pa.array(df["event_id"].to_numpy(), pa.int64()),
+            "user_id": pa.array(uid, pa.int64()),
+            "trailing_micros": pa.array(out_sum),
+            "trailing_n": pa.array(out_n),
+        })
+
+    return bucketed.groupby("__ub").map_groups(
+        frame_bucket, batch_format="pyarrow"
+    )

@@ -274,3 +274,60 @@ def test_detect_hot_keys_feeds_salted_window(ray_session):
     )
     pd.testing.assert_frame_equal(unsalted, auto[unsalted.columns],
                                   check_dtype=False)
+
+
+def test_trailing_range_frame_ties_and_invariance(ray_session, tmp_path):
+    """RANGE-frame trailing-hour sum: ts-peers share one frame (SQL RANGE
+    semantics — the frame depends only on (user, ts)), boundary at
+    exactly ts - 1h is INCLUSIVE, and output is invariant to the input
+    block layout."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_service_ray.pipelines.relational import trailing_hour_value
+
+    H = 3_600_000_000
+    base = 1_700_000_000_000_000
+    rows = [
+        # user 1: two ts-PEERS at base, one exactly 1h later (inclusive
+        # boundary pulls the peers in), one 1h+1us later (drops them)
+        (1, 1, base, 10.0),
+        (2, 1, base, 20.0),
+        (3, 1, base + H, 5.0),
+        (4, 1, base + H + 1, 7.0),
+        # user 2: isolated event
+        (5, 2, base, 1.0),
+    ]
+    df = pd.DataFrame(rows, columns=["event_id", "user_id", "ts_i", "value"])
+    df["ts"] = pd.to_datetime(df["ts_i"], unit="us")
+    tbl = pa.table({
+        "event_id": pa.array(df["event_id"], pa.int64()),
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(df["ts"], pa.timestamp("us")),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+
+    out = trailing_hour_value(str(sf)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    want = {
+        1: (30_000_000, 2),   # both peers at base share the frame
+        2: (30_000_000, 2),
+        3: (35_000_000, 3),   # base peers at exactly -1h are INCLUDED
+        4: (12_000_000, 2),   # base peers fell out; ts=base+H stays
+        5: (1_000_000, 1),
+    }
+    for eid, (s, n) in want.items():
+        row = out[out["event_id"] == eid].iloc[0]
+        assert (row["trailing_micros"], row["trailing_n"]) == (s, n), eid
+
+    # block-layout invariance: same table written as 3 row groups
+    sf2 = tmp_path / "sf2"
+    sf2.mkdir()
+    pq.write_table(tbl, sf2 / "events.parquet", row_group_size=2)
+    out2 = trailing_hour_value(str(sf2)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, out2)
