@@ -181,12 +181,14 @@ def compactor_sketch_column(ds, col: str, *, k: int = 256) -> CompactorSketch:
     from .hashing import hash64
 
     def sketch_batch(df: pd.DataFrame) -> pd.DataFrame:
-        s = CompactorSketch(k).update(df[col].to_numpy(dtype=np.int64))
+        # NULLs are ignored, matching SQL percentile semantics (total
+        # weight == the non-null count)
+        x = df[col].dropna().to_numpy(dtype=np.int64)
+        s = CompactorSketch(k).update(x)
         rows = s.to_rows()
         # fan-in key from stable content (first value + length), never
         # builtin hash() — same discipline as sampled_quantile_boundaries
-        key = hash64(f"qsk-{len(df)}-{df[col].iloc[0]}") % MERGE_FAN \
-            if len(df) else 0
+        key = hash64(f"qsk-{len(x)}-{x[0]}") % MERGE_FAN if len(x) else 0
         rows["__mb"] = np.int64(key)
         return rows
 

@@ -127,3 +127,21 @@ def test_error_artifact_query(ray_session):
     assert len(out) == len(QS)
     assert (out["rank_err"] <= out["certified_bound"]).all()
     assert (out["certified_bound"] < out["n"]).all()  # non-vacuous
+
+
+def test_distributed_fold_ignores_nulls(ray_session):
+    """SQL percentile semantics: NULLs do not count toward the weight
+    or move any quantile."""
+    import ray.data as rd
+
+    from docling_service_ray.functions.qcompactor import (
+        compactor_sketch_column,
+    )
+
+    x = np.random.default_rng(5).integers(0, 1 << 30, 5000).astype(float)
+    with_nulls = np.where(np.arange(len(x)) % 7 == 0, np.nan, x)
+    ds = rd.from_pandas(pd.DataFrame({"v": with_nulls})).repartition(4)
+    sk = compactor_sketch_column(ds, "v", k=64)
+    clean = x[np.arange(len(x)) % 7 != 0].astype(np.int64)
+    assert sk.total_weight() == len(clean)
+    assert measured_rank_error(clean, sk) <= sk.error_bound()
