@@ -92,6 +92,7 @@ BENCH_QUERIES = [
     "hll_distinct_error",
     "quantile_compactor_error",
     "lm_perplexity",
+    "trailing_hour_value",
 ]
 
 
