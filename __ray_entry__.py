@@ -164,6 +164,13 @@ def _registry() -> tuple[dict, dict]:
                                        # project plan); the LAYOUT value
                                        # (row-group pruning) is measured
                                        # in tests/test_zorder.py
+               "hourly_gap_fill",      # dense time-grid resample ->
+                                       # hourly_windows (same exact
+                                       # micros time-bucket fold) +
+                                       # full_outer_activity (the
+                                       # null-fill join side); the
+                                       # densify+ffill mechanism is
+                                       # strict-checked in pytest
                "contamination",        # n-gram hash semi-join ->
                                        # term_postings (n-gram postings
                                        # exchange) + anti_join_customers

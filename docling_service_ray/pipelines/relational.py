@@ -2072,3 +2072,109 @@ def trailing_hour_value(sf_dir: str):
     return bucketed.groupby("__ub").map_groups(
         frame_bucket, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series gap-fill resample: densify each user's hourly series over
+# [min_hour, max_hour] — missing buckets get zero counts and a
+# forward-filled last-observed value. The dense-grid mechanism is the
+# inverse of aggregation-only time bucketing (hourly_windows: only
+# observed buckets exist) and composes its exact int64 micros fold with
+# a per-user-segment vectorized expansion (np.arange grid + searchsorted
+# carry — loop over segments, never rows). Densification can EXPLODE on
+# long-lived keys (a user spanning a year -> 8760 rows), so the span is
+# guarded loudly per user rather than silently materialized.
+# ---------------------------------------------------------------------------
+@register(
+    "hourly_gap_fill",
+    "WITH agg AS (SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+    "COUNT(*) AS n, CAST(SUM(CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT)) "
+    "AS BIGINT) AS v FROM events GROUP BY user_id, hour_bucket), "
+    "grid AS (SELECT user_id, unnest(generate_series(MIN(hour_bucket), "
+    "MAX(hour_bucket))) AS hour_bucket FROM agg GROUP BY user_id) "
+    "SELECT g.user_id, g.hour_bucket, "
+    "CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events, "
+    "CAST(COALESCE(a.v, 0) AS BIGINT) AS value_micros, "
+    "CAST(last_value(a.v IGNORE NULLS) OVER (PARTITION BY g.user_id "
+    "ORDER BY g.hour_bucket) AS BIGINT) AS ffill_micros "
+    "FROM grid g LEFT JOIN agg a USING (user_id, hour_bucket)",
+)
+def hourly_gap_fill(sf_dir: str, *, max_span_hours: int = 1_000_000):
+    from ..functions.hashing import bucket_column
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def prep(batch: pa.Table) -> pd.DataFrame:
+        us = pc.cast(batch["ts"], pa.int64()).to_numpy(zero_copy_only=False)
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "hour_bucket": us // 3_600_000_000,
+            "micros": to_cents(batch["value"], scale=1_000_000)
+            .to_numpy(zero_copy_only=False),
+        })
+        # per-batch partial: the shuffle moves (user, hour) partials,
+        # never raw events
+        out = (
+            df.groupby(["user_id", "hour_bucket"], sort=False)
+            .agg(n=("micros", "size"), v=("micros", "sum")).reset_index()
+        )
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    bucketed = (
+        ds.map_batches(prep, batch_format="pyarrow", batch_size=65536)
+        .map_batches(lambda t: bucket_column(t, "user_id", 64, "__ub"),
+                     batch_format="pyarrow")
+    )
+
+    def fill_bucket(grp: pa.Table) -> pa.Table:
+        df = (
+            grp.select(["user_id", "hour_bucket", "n", "v"]).to_pandas()
+            .groupby(["user_id", "hour_bucket"], sort=True)
+            .agg(n=("n", "sum"), v=("v", "sum")).reset_index()
+        )
+        uid = df["user_id"].to_numpy()
+        hb = df["hour_bucket"].to_numpy()
+        n = df["n"].to_numpy()
+        v = df["v"].to_numpy()
+        seg = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+        users, hours, out_n, out_v, out_f = [], [], [], [], []
+        for a, b in zip(seg[:-1], seg[1:]):
+            span = int(hb[b - 1] - hb[a]) + 1
+            if span > max_span_hours:
+                raise ValueError(
+                    f"hourly_gap_fill: user {uid[a]} spans {span} hours > "
+                    f"max_span_hours={max_span_hours}; densifying would "
+                    "materialize that many rows per key — resample to a "
+                    "coarser bucket or raise the guard deliberately"
+                )
+            grid = np.arange(hb[a], hb[b - 1] + 1)
+            idx = (hb[a:b] - hb[a]).astype(np.int64)
+            gn = np.zeros(span, dtype=np.int64)
+            gv = np.zeros(span, dtype=np.int64)
+            gn[idx], gv[idx] = n[a:b], v[a:b]
+            # forward fill: last observed hour at-or-before each grid hour
+            carry = np.searchsorted(hb[a:b], grid, side="right") - 1
+            users.append(np.full(span, uid[a], dtype=np.int64))
+            hours.append(grid)
+            out_n.append(gn)
+            out_v.append(gv)
+            out_f.append(v[a:b][carry])
+        if not users:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "hour_bucket": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64()),
+                             "value_micros": pa.array([], pa.int64()),
+                             "ffill_micros": pa.array([], pa.int64())})
+        return pa.table({
+            "user_id": pa.array(np.concatenate(users)),
+            "hour_bucket": pa.array(np.concatenate(hours)),
+            "n_events": pa.array(np.concatenate(out_n)),
+            "value_micros": pa.array(np.concatenate(out_v)),
+            "ffill_micros": pa.array(np.concatenate(out_f)),
+        })
+
+    return bucketed.groupby("__ub").map_groups(
+        fill_bucket, batch_format="pyarrow"
+    )

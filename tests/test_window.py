@@ -331,3 +331,50 @@ def test_trailing_range_frame_ties_and_invariance(ray_session, tmp_path):
     out2 = trailing_hour_value(str(sf2)).to_pandas() \
         .sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(out, out2)
+
+
+def test_hourly_gap_fill_planted(ray_session, tmp_path):
+    """Dense grid: gap hours appear with zero counts and the
+    forward-filled last observation; the span guard raises loudly."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from docling_service_ray.pipelines.relational import hourly_gap_fill
+
+    H = 3_600_000_000
+    base_h = 500_000
+    rows = [
+        # user 1: hours 0 and 3 observed -> grid 0..3, gaps at 1, 2
+        (1, base_h * H, 2.0),
+        (1, base_h * H + 10, 3.0),          # same hour, sums to 5.0
+        (1, (base_h + 3) * H, 7.0),
+        # user 2: single hour -> span 1, no gaps
+        (2, (base_h + 9) * H, 1.5),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "value"])
+    tbl = pa.table({
+        "user_id": pa.array(df["user_id"], pa.int64()),
+        "ts": pa.array(pd.to_datetime(df["ts_us"], unit="us"),
+                       pa.timestamp("us")),
+        "value": pa.array(df["value"], pa.float64()),
+    })
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(tbl, sf / "events.parquet")
+
+    out = hourly_gap_fill(str(sf)).to_pandas() \
+        .sort_values(["user_id", "hour_bucket"]).reset_index(drop=True)
+    got = {(r.user_id, r.hour_bucket): (r.n_events, r.value_micros,
+                                        r.ffill_micros)
+           for r in out.itertuples()}
+    assert len(out) == 5  # 4-hour grid for user 1 + 1 for user 2
+    assert got[(1, base_h)] == (2, 5_000_000, 5_000_000)
+    assert got[(1, base_h + 1)] == (0, 0, 5_000_000)   # gap: ffill carries
+    assert got[(1, base_h + 2)] == (0, 0, 5_000_000)
+    assert got[(1, base_h + 3)] == (1, 7_000_000, 7_000_000)
+    assert got[(2, base_h + 9)] == (1, 1_500_000, 1_500_000)
+
+    with _pytest.raises(ValueError, match="max_span_hours"):
+        hourly_gap_fill(str(sf), max_span_hours=2).to_pandas()
