@@ -72,6 +72,12 @@ def registers_batch(values, *, p: int) -> np.ndarray:
     64-p+1 when the low bits are all zero — the single formula covers
     both cases.
     """
+    if not 4 <= p <= 18:
+        raise ValueError(
+            f"registers_batch: p={p} outside [4, 18] — the bias constant "
+            "assumes m >= 16 registers, and beyond 2^18 the register "
+            "table stops being a sensible broadcast/fold object"
+        )
     m = 1 << p
     regs = np.zeros(m, dtype=np.uint8)
     if len(values) == 0:

@@ -108,3 +108,10 @@ def test_error_artifact_query(ray_session):
     per_lang = out[out["lang"] != "__total__"]
     # shared vocabulary across langs: union distinct <= sum of per-lang
     assert tot["exact"] <= per_lang["exact"].sum()
+
+
+def test_p_range_guard():
+    with pytest.raises(ValueError, match=r"p=3 outside"):
+        registers_batch(np.array(["x"]), p=3)
+    with pytest.raises(ValueError, match=r"p=19 outside"):
+        registers_batch(np.array(["x"]), p=19)
