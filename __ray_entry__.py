@@ -164,6 +164,11 @@ def _registry() -> tuple[dict, dict]:
                                        # project plan); the LAYOUT value
                                        # (row-group pruning) is measured
                                        # in tests/test_zorder.py
+               "source_mixture_sample", # mixture-quota allocation ->
+                                       # stratified_sample (the same
+                                       # per-stratum md5 top-k engine);
+                                       # the exact-integer quota step is
+                                       # strict-checked in pytest
                "hourly_gap_fill",      # dense time-grid resample ->
                                        # hourly_windows (same exact
                                        # micros time-bucket fold) +

@@ -2884,3 +2884,85 @@ def lm_perplexity(sf_dir: str):
     model = train_bigram_lm(train)
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     return score_corpus(ds, model)
+
+
+# ---------------------------------------------------------------------------
+# Data mixing: sample the corpus DOWN to target per-source proportions —
+# the mixture-weighting step of LLM training-data assembly (source
+# reweighting a la The Pile / CCNet mixes). Mechanism on top of the
+# per-stratum hash top-k (stratified_sample): the per-source QUOTA is
+# computed first (capped proportional allocation in exact integer
+# arithmetic: n_s = least(c_s, w_s*T // W)), then each source keeps its
+# n_s smallest md5-ranked docs — deterministic, reproducible, and
+# batch-prunable (a batch never needs to keep more than n_s rows per
+# source, so the shuffle moves at most |sources| x n_s rows).
+# ---------------------------------------------------------------------------
+@register(
+    "source_mixture_sample",
+    "WITH c AS (SELECT source, COUNT(*) AS c FROM documents GROUP BY source), "
+    "w AS (SELECT source, c, CAST(substr(source, 4) AS BIGINT) % 3 + 1 AS w "
+    "FROM c), "
+    "tot AS (SELECT CAST(SUM(c) // 2 AS BIGINT) AS t, "
+    "CAST(SUM(w) AS BIGINT) AS sw FROM w), "
+    "a AS (SELECT source, LEAST(c, w * (SELECT t FROM tot) // "
+    "(SELECT sw FROM tot)) AS quota FROM w), "
+    "r AS (SELECT source, doc_id, "
+    "row_number() OVER (PARTITION BY source "
+    "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rank FROM documents) "
+    "SELECT r.source, r.doc_id, CAST(r.rank AS BIGINT) AS rank, "
+    "CAST(a.quota AS BIGINT) AS quota "
+    "FROM r JOIN a USING (source) WHERE r.rank <= a.quota",
+)
+def source_mixture_sample(sf_dir: str):
+    """Mixture weights here derive from the source NAME (srcN -> N%3+1)
+    so the allocation is self-contained; a real mix passes its own
+    weight table. T = N//2 total target; shortfall from capped sources
+    is NOT redistributed (documented capped-proportional semantics)."""
+    from ..functions.agg import bucketed_group_agg
+    from ..functions.hashing import bucket_column, md5_hex_array
+
+    ds = read_table(sf_dir, "documents", columns=["source", "doc_id"])
+    counts = bucketed_group_agg(
+        ds, ["source"], {"c": ("source", "size")}, n_buckets=16
+    ).to_pandas()  # one row per source
+    w = counts["source"].str[3:].astype(np.int64) % 3 + 1
+    T = int(counts["c"].sum()) // 2
+    W = int(w.sum())
+    quota = dict(zip(counts["source"],
+                     np.minimum(counts["c"].to_numpy(),
+                                w.to_numpy() * T // W).astype(np.int64)))
+
+    def prune(batch: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            "source": batch["source"].to_pandas(),
+            "doc_id": batch["doc_id"].to_numpy(zero_copy_only=False),
+            "fp": md5_hex_array(
+                pc.cast(batch["doc_id"], pa.string())).to_pandas(),
+        }).sort_values(["source", "fp", "doc_id"], kind="mergesort")
+        # a batch never contributes more than quota_s rows per source
+        r0 = df.groupby("source", sort=False).cumcount()
+        return df[r0 < df["source"].map(quota).fillna(0)]
+
+    pruned = ds.map_batches(prune, batch_format="pyarrow",
+                            batch_size=65536)
+    bucketed = pruned.map_batches(
+        lambda t: bucket_column(t, "source", 16, "__sb"),
+        batch_format="pyarrow",
+    )
+
+    def finalize(grp: pa.Table) -> pa.Table:
+        df = grp.select(["source", "doc_id", "fp"]).to_pandas() \
+            .sort_values(["source", "fp", "doc_id"], kind="mergesort")
+        df["rank"] = df.groupby("source", sort=False).cumcount() + 1
+        df["quota"] = df["source"].map(quota).fillna(0).astype(np.int64)
+        df = df[df["rank"] <= df["quota"]]
+        return pa.table({
+            "source": pa.array(df["source"], pa.string()),
+            "doc_id": pa.array(df["doc_id"].to_numpy(), pa.int64()),
+            "rank": pa.array(df["rank"].to_numpy(), pa.int64()),
+            "quota": pa.array(df["quota"].to_numpy(), pa.int64()),
+        })
+
+    return bucketed.groupby("__sb").map_groups(
+        finalize, batch_format="pyarrow"
+    )

@@ -149,3 +149,46 @@ def test_arrow_kernels_equal_pandas_kernels():
         a = pd_fn(df.copy())[["doc_id"] + cols].reset_index(drop=True)
         b = ar_fn(tbl).to_pandas()[["doc_id"] + cols]
         pd.testing.assert_frame_equal(a, b, check_dtype=True), (pd_fn, cols)
+
+
+def test_source_mixture_sample_caps_and_determinism(ray_session, tmp_path):
+    """Capped proportional allocation: a source smaller than its
+    proportional share is capped at its count (no redistribution); the
+    md5 ranking makes the pick deterministic."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from docling_service_ray.pipelines.training import source_mixture_sample
+
+    # src2 has weight 3 (2%3+1) but only 2 docs -> capped at 2.
+    # src0 w=1 (30 docs), src1 w=2 (30 docs). N=62, T=31, W=6.
+    rows = (
+        [("src0", i) for i in range(30)]
+        + [("src1", 100 + i) for i in range(30)]
+        + [("src2", 200), ("src2", 201)]
+    )
+    df = pd.DataFrame(rows, columns=["source", "doc_id"])
+    df["text"] = "x"
+    df["lang"] = "en"
+    df["n_chars"] = 1
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    pq.write_table(pa.table({
+        "doc_id": pa.array(df["doc_id"], pa.int64()),
+        "text": pa.array(df["text"], pa.string()),
+        "lang": pa.array(df["lang"], pa.string()),
+        "source": pa.array(df["source"], pa.string()),
+        "n_chars": pa.array(df["n_chars"], pa.int64()),
+    }), sf / "documents.parquet")
+
+    out = source_mixture_sample(str(sf)).to_pandas()
+    got = out.groupby("source").size().to_dict()
+    # quotas: src0 = 1*31//6 = 5, src1 = 2*31//6 = 10, src2 = min(2, 15) = 2
+    assert got == {"src0": 5, "src1": 10, "src2": 2}
+    assert (out["rank"] <= out["quota"]).all()
+    out2 = source_mixture_sample(str(sf)).to_pandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values(["source", "rank"]).reset_index(drop=True),
+        out2.sort_values(["source", "rank"]).reset_index(drop=True))
