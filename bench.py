@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "quantile_compactor_error",
     "lm_perplexity",
     "trailing_hour_value",
+    "hourly_gap_fill",
+    "source_mixture_sample",
 ]
 
 
